@@ -1,0 +1,66 @@
+"""Precision-polished dense linear algebra for TPU.
+
+On TPU, float64 is emulated as a double-single pair: matmuls are accurate to
+~1e-15, but LAPACK-style factorisations (eigh) only reach ~1e-7.  Quantum
+chemistry needs eigenvectors/eigenvalues at ~1e-12 (SCF densities, MP/CC
+denominators), so we polish the raw eigh output with perturbation-theory
+refinement built from accurate matmuls, and build S^-1/2 with Newton-Schulz
+iterations.  All routines are jit-safe and differentiable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_POLISH_STEPS = 3
+_NS_STEPS = 4
+
+
+def eigh(A: jnp.ndarray, polish_steps: int = _POLISH_STEPS):
+    """Symmetric eigendecomposition, polished to near machine-f64 accuracy.
+
+    Runs jnp.linalg.eigh, then iteratively refines with first-order
+    perturbation theory: H = V^T A V is nearly diagonal, eigenvalues are
+    updated to diag(H), and eigenvectors are rotated by K_ij = H_ij/(w_j-w_i)
+    (zeroed inside near-degenerate blocks, where the mixing is physically
+    arbitrary).  Each step squares the off-diagonal error.
+    """
+    w, V = jnp.linalg.eigh(A)
+
+    for _ in range(polish_steps):
+        H = V.T @ A @ V
+        w = jnp.diagonal(H)
+        scale = jnp.maximum(jnp.max(jnp.abs(w)), 1e-30)
+        gaps = w[None, :] - w[:, None]
+        degenerate = jnp.abs(gaps) < 1e-9 * scale
+        K = jnp.where(degenerate, 0.0, H / jnp.where(degenerate, 1.0, gaps))
+        K = K - jnp.diag(jnp.diagonal(K))
+        V = V + V @ K
+        # Re-orthonormalise (first-order): V <- V (3I - V^T V)/2
+        VtV = V.T @ V
+        V = V @ (1.5 * jnp.eye(V.shape[0], dtype=V.dtype) - 0.5 * VtV)
+
+    # Final eigenvalue estimate from accurate Rayleigh quotients
+    H = V.T @ A @ V
+    w = jnp.diagonal(H)
+    order = jnp.argsort(w)
+    return w[order], V[:, order]
+
+
+def inverse_sqrt(S: jnp.ndarray, eigenvalues: jnp.ndarray | None = None,
+                 ns_steps: int = _NS_STEPS):
+    """S^-1/2 for SPD S via eigh seed + Newton-Schulz refinement.
+
+    The Newton-Schulz step Y <- Y (3I - S Y^2)/2 converges quadratically and
+    uses only accurate matmuls, fixing the ~1e-7 eigh noise.  Returns
+    (X = S^-1/2, smallest eigenvalue of S, S^-1).
+    """
+    w, V = jnp.linalg.eigh(S)
+    Y = (V * (1.0 / jnp.sqrt(w))) @ V.T
+    identity = jnp.eye(S.shape[0], dtype=S.dtype)
+    for _ in range(ns_steps):
+        Y = Y @ (1.5 * identity - 0.5 * (S @ (Y @ Y)))
+        Y = 0.5 * (Y + Y.T)
+    S_inverse = Y @ Y
+    return Y, jnp.min(w), S_inverse
