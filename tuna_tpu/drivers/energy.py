@@ -1,0 +1,362 @@
+"""Single-point energy pipeline: molecule + integrals + guess -> SCF ->
+post-SCF correlation -> properties; plus CBS extrapolation, coordinate scans
+and finite-field electric properties.
+
+Capability parity with /root/reference/TUNA/tuna_energy.py, restructured so
+that repeated energy evaluations (scans, finite differences, MD) reuse the
+compiled integral/SCF kernels (same shapes -> no retracing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants
+from ..containers import Integrals, Output
+from ..output import error, log, log_big_spacer, log_spacer, timer
+from ..scf import run_self_consistent_field, clean_density_matrix
+from ..scf import guess as guess_mod
+from ..system import Molecule
+from . import common
+from .post_scf import run_post_SCF_energy_calculation
+
+
+def enforce_density_matrix_trace(P_alpha, P_beta, S, n_alpha, n_beta):
+    P_alpha = clean_density_matrix(jnp.asarray(P_alpha), S, n_alpha)
+    P_beta = clean_density_matrix(jnp.asarray(P_beta), S, n_beta)
+    return P_alpha + P_beta, P_alpha, P_beta
+
+
+def calculate_self_consistent_guess(calculation, atomic_symbols, coordinates,
+                                    molecule, S_inverse, silent=False):
+    """Minimal-basis SCF, projected onto the target basis (the default guess)."""
+    timer("Initial guess", 0)
+    log("\n Calculating self-consistent density for guess...  ", calculation,
+        end="", silent=silent)
+
+    old_basis = calculation.basis
+    calculation.basis = "STO-3G"
+    try:
+        SCF_output, molecule_minimal, guess_energy, _ = calculate_energy(
+            calculation, atomic_symbols, coordinates, terse=True, silent=True,
+            do_correlation=False)
+    finally:
+        calculation.basis = old_basis
+
+    from ..ops.integrals import cross_overlap
+    S_cross = cross_overlap(molecule.cartesian_basis_functions,
+                            molecule_minimal.cartesian_basis_functions)
+
+    P_a = guess_mod.project_density_matrix(
+        SCF_output.P_alpha, S_cross, S_inverse, molecule.spherical_transformation)
+    P_b = guess_mod.project_density_matrix(
+        SCF_output.P_beta, S_cross, S_inverse, molecule.spherical_transformation)
+
+    log("[Done]", calculation, silent=silent)
+    timer("Initial guess", 1)
+    return P_a + P_b, P_a, P_b, guess_energy
+
+
+def build_molecule_and_integrals(calculation, atomic_symbols, coordinates, silent,
+                                 guess_container, do_correlation, integrals=None):
+    log("\n Setting up molecule...     ", calculation, 1, silent=silent, end="")
+    molecule = Molecule(atomic_symbols, coordinates, calculation,
+                        do_correlation=do_correlation)
+    log("[Done]\n", calculation, 1, silent=silent)
+
+    if integrals is None:
+        integrals = common.calculate_analytical_integrals(molecule, calculation, silent)
+
+    molecule.process_basis_functions(calculation, int(integrals.n_basis))
+    common.print_molecule_information(molecule, calculation, silent)
+    common.print_reference_type(calculation.method, calculation, silent)
+
+    V_NN = (common.calculate_nuclear_repulsion_energy(
+        molecule.charges, coordinates, calculation, silent)
+        if calculation.diatomic else 0.0)
+    E_dispersion = common.calculate_additive_dispersion_energy(molecule, calculation, silent)
+
+    X, smallest_S_eigenvalue, S_inverse = common.calculate_orthogonalisation_matrix(
+        integrals.S, calculation, silent)
+    common.check_overlap_eigenvalues(smallest_S_eigenvalue, calculation, silent=silent)
+
+    P_guess, P_guess_alpha, P_guess_beta, E_guess = guess_container
+    if (calculation.self_consistent_guess and do_correlation and P_guess is None
+            and P_guess_alpha is None and P_guess_beta is None):
+        P_guess, P_guess_alpha, P_guess_beta, E_guess = calculate_self_consistent_guess(
+            calculation, atomic_symbols, coordinates, molecule, S_inverse, silent=silent)
+
+    E_guess, P_guess, P_guess_alpha, P_guess_beta = guess_mod.setup_initial_guess(
+        P_guess, P_guess_alpha, P_guess_beta, E_guess, integrals, X, calculation,
+        molecule, S_inverse, silent=silent)
+
+    P_guess, P_guess_alpha, P_guess_beta = enforce_density_matrix_trace(
+        P_guess_alpha, P_guess_beta, integrals.S, molecule.n_alpha, molecule.n_beta)
+    guess_container = (P_guess, P_guess_alpha, P_guess_beta, E_guess)
+
+    # DFT integration grid
+    if calculation.DFT_calculation or calculation.VV10:
+        from ..dft import grid as dft_grid
+        grid_container = dft_grid.set_up_integration_grid(
+            molecule, P_guess_alpha, P_guess_beta, calculation, silent)
+    else:
+        grid_container = (None, None, None, None)
+
+    return molecule, integrals, guess_container, grid_container, X, V_NN, E_dispersion
+
+
+def calculate_energy(calculation, atomic_symbols, coordinates, P_guess=None,
+                     P_guess_alpha=None, P_guess_beta=None, E_guess=None,
+                     terse=False, silent=False, do_correlation=True, integrals=None):
+    """The single-point pipeline (reference: tuna_energy.py:875-964)."""
+    guess_container = (P_guess, P_guess_alpha, P_guess_beta, E_guess)
+    coordinates = common.clean_coordinates(coordinates)
+
+    (molecule, integrals, guess_container, grid_container, X, V_NN,
+     E_dispersion) = build_molecule_and_integrals(
+        calculation, atomic_symbols, coordinates, silent, guess_container,
+        do_correlation, integrals=integrals)
+
+    integrals.F = (common.apply_electric_field(integrals.D, calculation.electric_field)
+                   if np.linalg.norm(calculation.electric_field) > 0
+                   else jnp.zeros_like(integrals.S))
+    integrals.G = (common.apply_electric_field_gradient(integrals.Q, calculation.electric_field_gradient)
+                   if np.linalg.norm(calculation.electric_field_gradient) > 0
+                   else jnp.zeros_like(integrals.S))
+
+    xc_closure = None
+    if calculation.DFT_calculation:
+        from ..dft import make_xc_closure
+        xc_closure = make_xc_closure(calculation, grid_container)
+
+    SCF_output = run_self_consistent_field(
+        molecule, calculation, integrals, V_NN, X, guess_container,
+        grid_container, silent, xc_closure=xc_closure)
+
+    if not do_correlation:
+        return SCF_output, molecule, SCF_output.energy, SCF_output.P
+
+    if calculation.VV10 or calculation.method.name == "B97M-V":
+        from ..dft import vv10
+        E_dispersion = vv10.calculate_VV10_energy(SCF_output.P, grid_container,
+                                                  calculation, silent)
+    SCF_output.set_dispersion_energy(E_dispersion)
+
+    final_energy, P = run_post_SCF_energy_calculation(
+        molecule, integrals, SCF_output, grid_container, calculation, X, V_NN,
+        silent, terse)
+
+    if not calculation.extrapolate and not silent:
+        from . import electric
+        if calculation.dipole:
+            electric.calculate_numerical_dipole_moment(
+                molecule, calculation, False, atomic_symbols, coordinates, integrals)
+        if calculation.quadrupole:
+            electric.calculate_numerical_quadrupole_moment(
+                molecule, calculation, False, atomic_symbols, coordinates, integrals)
+        if calculation.polarisability:
+            electric.calculate_polarisability(
+                molecule, calculation, final_energy, False, atomic_symbols,
+                coordinates, integrals)
+        if calculation.hyperpolarisability:
+            electric.calculate_hyperpolarisability(
+                molecule, calculation, False, atomic_symbols, coordinates, integrals)
+
+    return SCF_output, molecule, final_energy, P
+
+
+def evaluate_molecular_energy(calculation, atomic_symbols, coordinates,
+                              P_guess=None, P_guess_alpha=None, P_guess_beta=None,
+                              E_guess=None, terse=False, silent=False,
+                              do_correlation=True, integrals=None):
+    """Wrapper choosing plain vs basis-set-extrapolated energy."""
+    if calculation.extrapolate:
+        return calculate_extrapolated_energy(
+            calculation, atomic_symbols, coordinates, P_guess, P_guess_alpha,
+            P_guess_beta, E_guess, terse, silent)
+    return calculate_energy(calculation, atomic_symbols, coordinates, P_guess,
+                            P_guess_alpha, P_guess_beta, E_guess, terse, silent,
+                            do_correlation, integrals)
+
+
+_ZETA_SEQUENCE = {
+    "double": "triple", "triple": "quadruple", "quadruple": "quintuple",
+    "quintuple": "sextuple",
+}
+
+_ZETA_OF_BASIS = {
+    "DZ": "double", "TZ": "triple", "QZ": "quadruple", "5Z": "quintuple",
+    "SVP": "double", "SVPD": "double", "TZVP": "triple", "TZVPP": "triple",
+    "TZVPD": "triple", "TZVPPD": "triple",
+    "PC-1": "double", "PC-2": "triple", "PC-3": "quadruple",
+}
+
+
+def _detect_zeta(basis: str) -> str:
+    b = basis.upper()
+    for tag, zeta in (("DZ", "double"), ("TZ", "triple"), ("QZ", "quadruple"),
+                      ("5Z", "quintuple")):
+        if b.endswith(tag):
+            return zeta
+    if "SVP" in b:
+        return "double"
+    if "TZV" in b:
+        return "triple"
+    if b == "PC-1":
+        return "double"
+    if b == "PC-2":
+        return "triple"
+    if b == "PC-3":
+        return "quadruple"
+    error("Your chosen basis set is not parameterised for extrapolation!")
+
+
+_NEXT_BASIS = {
+    # cc family
+    "CC-PVDZ": "CC-PVTZ", "CC-PVTZ": "CC-PVQZ", "CC-PVQZ": "CC-PV5Z", "CC-PV5Z": "CC-PV6Z",
+    "AUG-CC-PVDZ": "AUG-CC-PVTZ", "AUG-CC-PVTZ": "AUG-CC-PVQZ",
+    "AUG-CC-PVQZ": "AUG-CC-PV5Z", "AUG-CC-PV5Z": "AUG-CC-PV6Z",
+    "D-AUG-CC-PVDZ": "D-AUG-CC-PVTZ", "D-AUG-CC-PVTZ": "D-AUG-CC-PVQZ",
+    "D-AUG-CC-PVQZ": "D-AUG-CC-PV5Z", "D-AUG-CC-PV5Z": "D-AUG-CC-PV6Z",
+    "T-AUG-CC-PVDZ": "T-AUG-CC-PVTZ", "T-AUG-CC-PVTZ": "T-AUG-CC-PVQZ",
+    "T-AUG-CC-PVQZ": "T-AUG-CC-PV5Z", "T-AUG-CC-PV5Z": "T-AUG-CC-PV6Z",
+    "PC-1": "PC-2", "PC-2": "PC-3", "PC-3": "PC-4",
+    "DEF2-SVP": "DEF2-TZVPP", "DEF2-SVPD": "DEF2-TZVPPD",
+    "DEF2-TZVP": "DEF2-QZVP", "DEF2-TZVPP": "DEF2-QZVPP",
+    "DEF2-TZVPD": "DEF2-QZVPD", "DEF2-TZVPPD": "DEF2-QZVPPD",
+    "ANO-PVDZ": "ANO-PVTZ", "ANO-PVTZ": "ANO-PVQZ", "ANO-PVQZ": "ANO-PV5Z",
+    "AUG-ANO-PVDZ": "AUG-ANO-PVTZ", "AUG-ANO-PVTZ": "AUG-ANO-PVQZ",
+    "AUG-ANO-PVQZ": "AUG-ANO-PV5Z",
+}
+
+
+def calculate_extrapolated_energy(calculation, atomic_symbols, coordinates,
+                                  P_guess=None, P_guess_alpha=None,
+                                  P_guess_beta=None, E_guess=None, terse=False,
+                                  silent=False):
+    """Run small + large basis back-to-back and extrapolate to the CBS limit."""
+    small_basis = calculation.basis.upper()
+    large_basis = _NEXT_BASIS.get(small_basis)
+    if large_basis is None:
+        error("Your chosen basis set is not parameterised for extrapolation!")
+    zeta = _detect_zeta(small_basis)
+
+    log(f"\n Using two-point extrapolation from {small_basis} with "
+        f"{large_basis}.", calculation, 1, silent=silent)
+
+    SCF_small, molecule, E_small, _ = calculate_energy(
+        calculation, atomic_symbols, coordinates, P_guess, P_guess_alpha,
+        P_guess_beta, E_guess, terse=True, silent=silent)
+    E_SCF_small = SCF_small.energy
+    E_corr_small = E_small - E_SCF_small - SCF_small.dispersion_energy
+
+    old_basis = calculation.basis
+    calculation.basis = large_basis
+    try:
+        SCF_large, molecule, E_large, P = calculate_energy(
+            calculation, atomic_symbols, coordinates, terse=True, silent=silent)
+    finally:
+        calculation.basis = old_basis
+    E_SCF_large = SCF_large.energy
+    E_corr_large = E_large - E_SCF_large - SCF_large.dispersion_energy
+
+    E_SCF_cbs, E_corr_cbs = common.extrapolate_energies(
+        small_basis, E_SCF_small, E_SCF_large, E_corr_small, E_corr_large, zeta)
+    E_extrapolated = E_SCF_cbs + E_corr_cbs
+    dispersion = SCF_large.dispersion_energy
+
+    log_spacer(calculation, silent=silent, start="\n")
+    log("                Basis Set Extrapolation", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    log(f"  SCF energy ({small_basis}):".ljust(35) + f"{E_SCF_small:16.10f}", calculation, 1, silent=silent)
+    log(f"  SCF energy ({large_basis}):".ljust(35) + f"{E_SCF_large:16.10f}", calculation, 1, silent=silent)
+    if calculation.method.correlated_method:
+        log("\n" + f"  Correlation energy ({small_basis}):".ljust(36) + f"{E_corr_small:15.10f}", calculation, 1, silent=silent)
+        log(f"  Correlation energy ({large_basis}):".ljust(36) + f"{E_corr_large:15.10f}", calculation, 1, silent=silent)
+    log(f"\n  Extrapolated SCF energy:         {E_SCF_cbs:16.10f}", calculation, 1, silent=silent)
+    if calculation.method.correlated_method:
+        log(f"  Extrapolated correlation energy: {E_corr_cbs:16.10f}", calculation, 1, silent=silent)
+    log(f"  Extrapolated total energy:       {E_extrapolated:16.10f}", calculation, 1, silent=silent)
+    if dispersion != 0:
+        log(f"\n  Dispersion-corrected total energy:{E_extrapolated + dispersion:15.10f}", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+
+    return SCF_large, molecule, E_extrapolated + dispersion, P
+
+
+def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
+                    silent=False, reverse=False):
+    """Bond-length scan with MOREAD density chaining (tuna_energy.py:975-1085)."""
+    from .. import props as props_mod
+
+    timer("Coordinate scan", 0)
+    coordinates = common.clean_coordinates(starting_coordinates)
+    step_size = constants.angstrom_to_bohr(calculation.step)
+    if reverse:
+        step_size = -step_size
+
+    bond_length = float(np.linalg.norm(coordinates[1] - coordinates[0]))
+    log(f"Initialising a {calculation.number_of_steps} step coordinate scan in "
+        f"{step_size:.4f} angstrom increments.", calculation, 1, silent=silent)
+    log(f"Starting at a bond length of "
+        f"{constants.bohr_to_angstrom(bond_length):.4f} angstroms.\n",
+        calculation, 1, silent=silent)
+
+    bond_lengths, energies, dipole_moments = [], [], []
+    P_guess = P_guess_alpha = P_guess_beta = E_guess = None
+
+    for step in range(1, calculation.number_of_steps + 1):
+        bond_length = float(np.linalg.norm(coordinates[1] - coordinates[0]))
+        log_big_spacer(calculation, start="\n", space="", silent=silent)
+        log(f"Starting scan step {step} of {calculation.number_of_steps} with "
+            f"bond length of {constants.bohr_to_angstrom(bond_length):.5f} "
+            "angstroms...", calculation, 1, silent=silent)
+        log_big_spacer(calculation, space="", silent=silent)
+
+        SCF_output, molecule, energy, _ = evaluate_molecular_energy(
+            calculation, atomic_symbols, coordinates, P_guess, P_guess_alpha,
+            P_guess_beta, E_guess, terse=True, silent=silent)
+
+        if calculation.dipole:
+            from . import electric
+            dipole_moment = electric.calculate_numerical_dipole_moment(
+                molecule, calculation, True, atomic_symbols, coordinates,
+                SCF_output.integrals)
+        else:
+            dipole_moment, _, _ = props_mod.calculate_analytical_dipole_moment(
+                molecule.centre_of_mass, molecule.charges, coordinates,
+                SCF_output.P, SCF_output.integrals.D)
+        dipole_moments.append(dipole_moment)
+
+        if calculation.MO_read:
+            P_guess, E_guess = SCF_output.P, energy
+            P_guess_alpha, P_guess_beta = SCF_output.P_alpha, SCF_output.P_beta
+
+        energies.append(energy)
+        bond_lengths.append(bond_length)
+        coordinates = np.array([coordinates[0], [0, 0, bond_length + step_size]])
+        if bond_length + step_size <= constants.angstrom_to_bohr(0.2) and reverse:
+            break
+
+    log_big_spacer(calculation, start="\n", space="", silent=silent)
+    log("\nCoordinate scan calculation finished!\n\n Printing energy as a "
+        "function of bond length...\n", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    log("                   Coordinate Scan", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    log("  Step         Bond Length               Energy", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    for i, (energy, bond) in enumerate(zip(energies, bond_lengths)):
+        log(f" {i + 1:4.0f}            {constants.bohr_to_angstrom(bond):.5f}"
+            f"             {energy:13.10f}", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    timer("Coordinate scan", 1)
+
+    if calculation.scan_plot:
+        from .. import plotting
+        plotting.generate_one_dimensional_plot(
+            calculation, constants.bohr_to_angstrom(np.array(bond_lengths)),
+            energies, "coordinate scan")
+
+    return bond_lengths, energies, dipole_moments
