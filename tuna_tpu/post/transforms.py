@@ -1,0 +1,189 @@
+"""Orbital-basis transformations for correlated methods.
+
+AO -> spatial-MO and AO -> spin-orbital four-index transforms as sequences of
+dot_general contractions (O(N^5)), spin-blocking helpers and energy
+denominator tensors.  Mirrors the conventions of the reference
+(/root/reference/TUNA/tuna_ci.py:27-420): the AO ERI tensor is stored in
+chemists' notation (mn|kl); `ao_to_mo_chemists` returns (pq|rs); physicists'
+<pq|rs> = chemists (pr|qs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..output import error, log, timer
+
+
+@jax.jit
+def ao_to_mo_chemists(ERI_AO, C):
+    """(mn|kl) -> (pq|rs) over molecular orbitals C."""
+    out = ERI_AO
+    for _ in range(4):
+        out = jnp.moveaxis(jnp.tensordot(C.T, out, axes=(1, 0)), 0, 3)
+    return out
+
+
+def chemists_to_physicists(ERI):
+    return ERI.transpose(0, 2, 1, 3)
+
+
+@jax.jit
+def ao_to_so_physicists(ERI_spin_block, C1, C2):
+    """Spin-blocked AO ERI (chemists) -> physicists' <pq|rs> in the SO basis.
+
+    Matches transform_ERI_AO_to_SO (tuna_ci.py:143-193): electron 1 carries
+    (C2 row, C1 column) and electron 2 carries (C2, C1) interleaved.
+    """
+    temp = jnp.einsum("mknl,ls->mnks", ERI_spin_block, C1, optimize=True)
+    temp = jnp.einsum("mnks,kr->mnrs", temp, C2, optimize=True)
+    temp = jnp.einsum("mnrs,nq->mqrs", temp, C1, optimize=True)
+    return jnp.einsum("mqrs,mp->pqrs", temp, C2, optimize=True)
+
+
+def antisymmetrise(ERI_physicists):
+    return ERI_physicists - ERI_physicists.transpose(0, 1, 3, 2)
+
+
+def spin_block_matrix(M):
+    return jnp.kron(jnp.eye(2), M)
+
+
+def spin_block_eri(ERI_AO):
+    """Spin-block the chemists' AO ERI (tuna_ci.py:560)."""
+    return jnp.kron(jnp.eye(2), jnp.kron(jnp.eye(2), ERI_AO).T)
+
+
+def spin_block_orbitals(C_alpha, C_beta, epsilons_combined):
+    C = np.block([[np.asarray(C_alpha), np.zeros_like(np.asarray(C_beta))],
+                  [np.zeros_like(np.asarray(C_alpha)), np.asarray(C_beta)]])
+    return jnp.asarray(C[:, np.argsort(np.asarray(epsilons_combined))])
+
+
+def spin_orbital_fock(H_core_SO, g, o):
+    return H_core_SO + jnp.einsum("piqi->pq", g[:, o, :, o], optimize=True)
+
+
+def transform_matrix_ao_to_so(M, C):
+    return C.T @ M @ C
+
+
+def density_so_to_ao(P_SO, C_spin_block, n_SO):
+    C_alpha = C_spin_block[: n_SO // 2, :]
+    C_beta = C_spin_block[n_SO // 2:, :]
+    P_alpha = C_alpha @ P_SO @ C_alpha.T
+    P_beta = C_beta @ P_SO @ C_beta.T
+    return P_alpha + P_beta, P_alpha, P_beta
+
+
+# --- energy denominators ---------------------------------------------------
+
+def singles_epsilons(epsilons, o, v, level_shift=0.0):
+    n = jnp.newaxis
+    return 1.0 / (epsilons[o, n] - epsilons[n, v] - level_shift)
+
+
+def doubles_epsilons(eps1, eps2, o1, o2, v1, v2, level_shift=0.0):
+    n = jnp.newaxis
+    return 1.0 / (eps1[o1, n, n, n] + eps2[n, o2, n, n]
+                  - eps1[n, n, v1, n] - eps2[n, n, n, v2] - 2 * level_shift)
+
+
+def triples_epsilons(epsilons, o, v, level_shift=0.0):
+    n = jnp.newaxis
+    return 1.0 / (epsilons[o, n, n, n, n, n] + epsilons[n, o, n, n, n, n]
+                  + epsilons[n, n, o, n, n, n] - epsilons[n, n, n, v, n, n]
+                  - epsilons[n, n, n, n, v, n] - epsilons[n, n, n, n, n, v]
+                  - 3 * level_shift)
+
+
+def quadruples_epsilons(epsilons, o, v, level_shift=0.0):
+    n = jnp.newaxis
+    return 1.0 / (epsilons[o, n, n, n, n, n, n, n] + epsilons[n, o, n, n, n, n, n, n]
+                  + epsilons[n, n, o, n, n, n, n, n] + epsilons[n, n, n, o, n, n, n, n]
+                  - epsilons[n, n, n, n, v, n, n, n] - epsilons[n, n, n, n, n, v, n, n]
+                  - epsilons[n, n, n, n, n, n, v, n] - epsilons[n, n, n, n, n, n, n, v]
+                  - 4 * level_shift)
+
+
+# --- calculation preambles --------------------------------------------------
+
+def begin_spatial_orbital_calculation(molecule, ERI_AO, SCF_output, calculation,
+                                      silent=False):
+    """Spatial-orbital setup: chemists' MO integrals + occupied/virtual slices."""
+    minimum_orbital = molecule.n_core_orbitals if calculation.freeze_core else 0
+    if molecule.n_core_orbitals * 2 > molecule.n_electrons:
+        error("Not enough spatial orbitals to freeze!")
+    if molecule.n_core_orbitals < 0:
+        error("Cannot freeze a negative number of orbitals!")
+
+    o = slice(minimum_orbital, molecule.n_doubly_occ)
+    v = slice(molecule.n_doubly_occ, None)
+
+    log("\n Preparing transformation to spatial orbital basis...", calculation, 1,
+        silent=silent)
+    timer("Molecular orbital transformation", 0)
+    ERI_MO = ao_to_mo_chemists(jnp.asarray(ERI_AO),
+                               jnp.asarray(SCF_output.molecular_orbitals))
+    timer("Molecular orbital transformation", 1)
+
+    if calculation.freeze_core and molecule.n_core_orbitals != 0:
+        log(f"\n The {molecule.n_core_orbitals} lowest energy orbitals will be "
+            "frozen.", calculation, 1, silent=silent)
+    else:
+        log("\n All electrons will be correlated.", calculation, 1, silent=silent)
+
+    return ERI_MO, SCF_output.molecular_orbitals, jnp.asarray(SCF_output.epsilons), o, v
+
+
+def begin_spin_orbital_calculation(molecule, ERI_AO, SCF_output, calculation,
+                                   silent=False):
+    """Spin-orbital setup: antisymmetrised physicists' integrals + slices."""
+    minimum_orbital = molecule.n_core_spin_orbitals if calculation.freeze_core else 0
+    if molecule.n_core_spin_orbitals > molecule.n_electrons:
+        error("Not enough spin orbitals to freeze!")
+    if molecule.n_core_orbitals < 0:
+        error("Cannot freeze a negative number of orbitals!")
+
+    o = slice(minimum_orbital, molecule.n_occ)
+    v = slice(molecule.n_occ, None)
+
+    epsilons_combined = SCF_output.epsilons_combined
+
+    log("\n Preparing transformation to spin orbital basis...", calculation, 1,
+        silent=silent)
+    timer("Molecular orbital transformation", 0)
+    ERI_spin_block = spin_block_eri(jnp.asarray(ERI_AO))
+    C_spin_block = spin_block_orbitals(SCF_output.molecular_orbitals_alpha,
+                                       SCF_output.molecular_orbitals_beta,
+                                       epsilons_combined)
+    ERI_SO = ao_to_so_physicists(ERI_spin_block, C_spin_block, C_spin_block)
+    g = antisymmetrise(ERI_SO)
+    timer("Molecular orbital transformation", 1)
+
+    epsilons_sorted = jnp.sort(jnp.asarray(epsilons_combined))
+
+    n_alpha_mos = np.asarray(SCF_output.molecular_orbitals_alpha).shape[1]
+    n_beta_mos = np.asarray(SCF_output.molecular_orbitals_beta).shape[1]
+    spin_labels = ["a"] * n_alpha_mos + ["b"] * n_beta_mos
+    order = np.argsort(np.asarray(epsilons_combined))
+    spin_labels_sorted = [spin_labels[i] for i in order]
+
+    counts: dict = {}
+    spin_orbital_labels_sorted = []
+    for x in spin_labels_sorted:
+        counts[x] = counts.get(x, 0) + 1
+        spin_orbital_labels_sorted.append(f"{counts[x]}{x}")
+
+    if calculation.freeze_core and molecule.n_core_spin_orbitals != 0:
+        log(f"\n The {molecule.n_core_spin_orbitals} lowest energy spin orbitals "
+            "will be frozen.", calculation, 1, silent=silent)
+    else:
+        log("\n All electrons will be correlated.", calculation, 1, silent=silent)
+
+    return (g, C_spin_block, epsilons_sorted, ERI_spin_block, o, v,
+            spin_labels_sorted, spin_orbital_labels_sorted, ERI_SO)
