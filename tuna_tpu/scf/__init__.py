@@ -172,7 +172,7 @@ def _push_ring(buf, entry, n_valid, max_n):
 
 
 def _electronic_energy(P_a, P_b, J_a, J_b, K_a, K_b, T, V_NE, Fld, G,
-                       HFX_prop, restricted: bool, xc_energy=0.0):
+                       HFX_prop, restricted: bool, E_x_grid=0.0, E_c_grid=0.0):
     P = P_a + P_b
     kinetic = jnp.sum(P * T)
     nuclear_electron = jnp.sum(P * V_NE)
@@ -180,11 +180,11 @@ def _electronic_energy(P_a, P_b, J_a, J_b, K_a, K_b, T, V_NE, Fld, G,
     field_gradient = jnp.sum(P * G)
     coulomb = 0.5 * jnp.sum(P * (J_a + J_b))
     if restricted:
-        exchange = -0.25 * jnp.sum(P * (K_a + K_b)) * HFX_prop
+        exchange = -0.25 * jnp.sum(P * (K_a + K_b)) * HFX_prop + E_x_grid
     else:
-        exchange = -0.5 * (jnp.sum(P_a * K_a) + jnp.sum(P_b * K_b)) * HFX_prop
-    correlation = jnp.asarray(0.0, dtype=kinetic.dtype)
-    total = kinetic + nuclear_electron + coulomb + exchange + correlation + field + field_gradient + xc_energy
+        exchange = -0.5 * (jnp.sum(P_a * K_a) + jnp.sum(P_b * K_b)) * HFX_prop + E_x_grid
+    correlation = jnp.zeros_like(kinetic) + E_c_grid
+    total = kinetic + nuclear_electron + coulomb + exchange + correlation + field + field_gradient
     components = jnp.stack([kinetic, nuclear_electron, coulomb, exchange,
                             correlation, field, field_gradient])
     return total, components
@@ -217,11 +217,11 @@ def _make_scf_kernel(settings: SCFSettings, xc_closure=None):
             P = P_a + P_b
 
             if xc_closure is not None:
-                (V_XC_a, V_XC_b, e_xc_energy, density, dens_a, dens_b) = xc_closure(
+                (V_XC_a, V_XC_b, E_x_grid, E_c_grid, density, dens_a, dens_b) = xc_closure(
                     P_a, P_b, HFX_prop, DFX_prop, DFC_prop)
             else:
                 V_XC_a = V_XC_b = zeros
-                e_xc_energy = jnp.asarray(0.0, dtype=dtype)
+                E_x_grid = E_c_grid = jnp.asarray(0.0, dtype=dtype)
                 density = dens_a = dens_b = jnp.zeros((1,), dtype=dtype)
 
             # Fock build from current (old) density
@@ -262,7 +262,7 @@ def _make_scf_kernel(settings: SCFSettings, xc_closure=None):
             E_old = E
             E_new, components = _electronic_energy(
                 P_new_a, P_new_b, J_a, J_b, K_a, K_b, T, V_NE, Fld, G,
-                HFX_prop, restricted, e_xc_energy)
+                HFX_prop, restricted, E_x_grid, E_c_grid)
 
             # DIIS extrapolation of the density
             if settings.use_diis:
