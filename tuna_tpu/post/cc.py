@@ -1,15 +1,26 @@
-"""Coupled cluster and iterative configuration interaction methods.
+"""Coupled cluster and iterative configuration interaction, TPU-first.
 
-Capability parity with /root/reference/TUNA/tuna_cc.py: all iterative methods
-run through one driver (calculate_coupled_cluster_energy) with amplitude DIIS
-and damping.  Restricted methods use spin-adapted spatial-orbital equations
-(physicists' notation g, antisymmetrised intermediate w = 2g - g^T); the
-unrestricted path uses antisymmetrised spin-orbital equations (Stanton DPD
-form).  Amplitude-update kernels are jit-compiled once per system shape and
-lower to dot_general chains on the MXU.
+Every iterative method compiles to ONE jax.lax.while_loop that lives on
+device: amplitude update, correlation energy, convergence test, amplitude
+DIIS (fixed-size ring buffer) and damping all happen inside the loop, and a
+statistics buffer is printed after it finishes -- no per-iteration host
+round-trips (contrast the reference, /root/reference/TUNA/tuna_cc.py, which
+dispatches every contraction eagerly from a Python loop).
+
+Restricted (closed-shell) methods use spin-adapted spatial-orbital equations
+in a tau-based formulation with occupied-leading integral blocks
+(goovv, govov, ...) and L = 2<pq|rs> - <pq|sr>; shared ladder / ring-term
+helpers are reused across LCCD/CCD/CID/CISD/QCISD/CCSD.  CCD is the CCSD
+residual with the singles frozen at zero.  Unrestricted methods use the
+standard antisymmetrised spin-orbital equations.  Capability parity targets
+tuna_cc.py:830-2687 (iteration kernels), :2688-2949 ((T)/(Q)), :3179-3317
+(driver).
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +28,15 @@ import numpy as np
 
 from ..output import error, log, log_spacer, timer
 from . import transforms
+
+
+# ---------------------------------------------------------------------------
+# Small tensor helpers
+# ---------------------------------------------------------------------------
+
+def _sym_pair(r):
+    """Symmetrise a doubles residual over simultaneous (ij)(ab) exchange."""
+    return r + r.transpose(1, 0, 3, 2)
 
 
 def permute(array, idx_1, idx_2):
@@ -28,615 +48,938 @@ def permute_symmetric(array, pair1, pair2):
     return array + array.swapaxes(*pair1).swapaxes(*pair2)
 
 
-def permute_three_columns(array):
-    return (array + array.transpose(0, 2, 1, 3, 5, 4) + array.transpose(1, 0, 2, 4, 3, 5)
-            + array.transpose(1, 2, 0, 4, 5, 3) + array.transpose(2, 0, 1, 5, 3, 4)
-            + array.transpose(2, 1, 0, 5, 4, 3))
+def _u_of(t2):
+    """Spin-adapted contravariant combination 2 t2[ijab] - t2[ijba]."""
+    return 2.0 * t2 - t2.swapaxes(2, 3)
+
+
+def _tau_of(t1, t2):
+    """tau[ijab] = t2[ijab] + t1[ia] t1[jb]."""
+    return t2 + jnp.einsum("ia,jb->ijab", t1, t1, optimize=True)
 
 
 # ---------------------------------------------------------------------------
-# Energy expressions
+# Integral block containers
+# ---------------------------------------------------------------------------
+
+def _restricted_blocks(g, o, v):
+    """Occupied-leading blocks of <pq|rs> and L = 2<pq|rs> - <pq|sr>.
+
+    All reference contractions over virtual-leading blocks (g[v,v,o,o] etc.)
+    are re-expressed through <pq|rs> = <rs|pq> = <qp|sr> so only these eight
+    slices are ever materialised.
+    """
+    L = 2.0 * g - g.swapaxes(2, 3)
+    B = {
+        "oooo": g[o, o, o, o], "ooov": g[o, o, o, v], "oovo": g[o, o, v, o],
+        "oovv": g[o, o, v, v], "ovoo": g[o, v, o, o], "ovov": g[o, v, o, v],
+        "ovvo": g[o, v, v, o], "ovvv": g[o, v, v, v], "vvvv": g[v, v, v, v],
+        "Loovv": L[o, o, v, v], "Lovoo": L[o, v, o, o], "Lovvo": L[o, v, v, o],
+        "Lovvv": L[o, v, v, v],
+    }
+    return B
+
+
+_U_KEYS = ("oooo", "ooov", "oovo", "oovv", "ovoo", "ovov", "ovvo", "ovvv",
+           "vooo", "vovo", "vvoo", "vvov", "vvvo", "vvvv", "voov", "ovvv")
+
+
+def _unrestricted_blocks(g, o, v):
+    """Spin-orbital antisymmetrised blocks <pq||rs>."""
+    return {
+        "oooo": g[o, o, o, o], "ooov": g[o, o, o, v], "oovo": g[o, o, v, o],
+        "oovv": g[o, o, v, v], "ovoo": g[o, v, o, o], "ovov": g[o, v, o, v],
+        "ovvo": g[o, v, v, o], "ovvv": g[o, v, v, v],
+        "vovv": g[v, o, v, v], "vvvo": g[v, v, v, o], "vvvv": g[v, v, v, v],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Correlation energy (device scalars)
 # ---------------------------------------------------------------------------
 
 _NO_DISCONNECTED = ("LCCD", "LCCSD", "QCISD", "QCISD[T]", "QCISD(T)", "CISD",
                     "CID", "CISDT")
 
 
-def restricted_cc_energy(o, v, w, t_amplitudes, method, F):
-    t_ia, t_ijab = t_amplitudes[0], t_amplitudes[1]
-    E_singles = float(jnp.einsum("ia,ia->", F[o, v], t_ia, optimize=True)) \
-        if t_ia is not None and F is not None else 0.0
-    E_connected = float(jnp.einsum("abij,ijab->", w[v, v, o, o], t_ijab, optimize=True))
-    E_disconnected = float(jnp.einsum("abij,ia,jb->", w[v, v, o, o], t_ia, t_ia,
-                                      optimize=True)) if t_ia is not None else 0.0
-    if method.name in _NO_DISCONNECTED:
-        E_disconnected = 0.0
-    return E_singles + E_connected + E_disconnected, E_singles, E_connected, E_disconnected
+def _restricted_energy(B, F_ov, t1, t2, keep_disconnected: bool):
+    E_singles = jnp.einsum("ia,ia->", F_ov, t1, optimize=True)
+    E_conn = jnp.einsum("ijab,ijab->", B["Loovv"], t2, optimize=True)
+    if keep_disconnected:
+        E_disc = jnp.einsum("ijab,ia,jb->", B["Loovv"], t1, t1, optimize=True)
+    else:
+        E_disc = jnp.zeros_like(E_conn)
+    return E_singles + E_conn + E_disc, E_singles, E_conn, E_disc
 
 
-def unrestricted_cc_energy(o, v, g, t_amplitudes, method, F):
-    t_ia, t_ijab = t_amplitudes[0], t_amplitudes[1]
-    E_singles = float(jnp.einsum("ia,ia->", F[o, v], t_ia, optimize=True)) \
-        if t_ia is not None and F is not None else 0.0
-    E_connected = 0.25 * float(jnp.einsum("ijab,ijab->", g[o, o, v, v], t_ijab, optimize=True))
-    E_disconnected = 0.5 * float(jnp.einsum("ijab,ia,jb->", g[o, o, v, v], t_ia, t_ia,
-                                            optimize=True)) if t_ia is not None else 0.0
-    if method.name in _NO_DISCONNECTED:
-        E_disconnected = 0.0
-    return E_singles + E_connected + E_disconnected, E_singles, E_connected, E_disconnected
+def _unrestricted_energy(B, F_ov, t1, t2, keep_disconnected: bool):
+    E_singles = jnp.einsum("ia,ia->", F_ov, t1, optimize=True)
+    E_conn = 0.25 * jnp.einsum("ijab,ijab->", B["oovv"], t2, optimize=True)
+    if keep_disconnected:
+        E_disc = 0.5 * jnp.einsum("ijab,ia,jb->", B["oovv"], t1, t1, optimize=True)
+    else:
+        E_disc = jnp.zeros_like(E_conn)
+    return E_singles + E_conn + E_disc, E_singles, E_conn, E_disc
 
 
 # ---------------------------------------------------------------------------
-# Convergence, damping and amplitude DIIS
+# Shared restricted term builders
 # ---------------------------------------------------------------------------
 
-def is_converged(delta_E, t_amplitudes, t_amplitudes_old, calculation):
-    t_ia, t_ijab = t_amplitudes[0], t_amplitudes[1]
-    t_ia_old, t_ijab_old = t_amplitudes_old[0], t_amplitudes_old[1]
-    if abs(delta_E) >= calculation.energy_convergence:
-        return False
-    if float(jnp.linalg.norm(t_ijab - t_ijab_old)) >= calculation.amp_conv:
-        return False
-    if t_ia is not None and float(jnp.linalg.norm(t_ia - t_ia_old)) >= calculation.amp_conv:
-        return False
-    return True
+def _r_pair_ladder(Aoooo, Avvvv, t2_hh, t2_pp):
+    """Hole-hole + particle-particle ladder: <ab|cd> = <cd|ab> lets the
+    particle ladder contract the vvvv block in natural order."""
+    return 0.5 * (jnp.einsum("ijkl,klab->ijab", Aoooo, t2_hh, optimize=True)
+                  + jnp.einsum("abcd,ijcd->ijab", Avvvv, t2_pp, optimize=True))
 
 
-def apply_damping(damping_factor, t_amplitudes, t_amplitudes_old):
-    if damping_factor == 0:
-        return t_amplitudes
-    damped = []
-    for t, t_old in zip(t_amplitudes, t_amplitudes_old):
-        damped.append(None if t is None else
-                      damping_factor * t_old + (1 - damping_factor) * t)
-    return tuple(damped)
+def _r_rings(Aovvo, Aovov, t2):
+    """The four spin-adapted ring contractions (direct + two exchanges)."""
+    return (2.0 * jnp.einsum("icak,kjcb->ijab", Aovvo, t2, optimize=True)
+            - jnp.einsum("icka,kjcb->ijab", Aovov, t2, optimize=True)
+            - jnp.einsum("icak,kjbc->ijab", Aovvo, t2, optimize=True)
+            - jnp.einsum("ickb,kjac->ijab", Aovov, t2, optimize=True))
 
 
-def apply_DIIS(t_amplitudes, t_amplitudes_old, t_history, error_history, step,
-               calculation, silent):
-    """Pulay extrapolation over the amplitude history (tuna_cc.py:334-498)."""
-    residual_blocks = []
-    snapshot = []
-    for t, t_old in zip(t_amplitudes, t_amplitudes_old):
-        if t is None or t_old is None:
-            snapshot.append(None)
-            continue
-        snapshot.append(np.asarray(t))
-        residual_blocks.append((np.asarray(t) - np.asarray(t_old)).ravel())
+def _r_singles_linear(B, t1, t2):
+    """Singles terms common to LCCSD / CISD (and, with tau, CCSD/QCISD)."""
+    return (jnp.einsum("icak,kc->ia", B["Lovvo"], t1, optimize=True)
+            + jnp.einsum("kadc,ikcd->ia", B["Lovvv"], t2, optimize=True)
+            - jnp.einsum("ickl,klac->ia", B["Lovoo"], t2, optimize=True))
 
-    t_history.append(snapshot)
-    error_history.append(np.concatenate(residual_blocks))
 
-    if len(error_history) > calculation.max_DIIS_matrices:
-        del error_history[0]
-        del t_history[0]
+def _r_doubles_singles_driven(B, t1):
+    """t1-driven doubles terms shared by LCCSD / CISD / QCISD."""
+    return (jnp.einsum("icab,jc->ijab", B["ovvv"], t1, optimize=True)
+            - jnp.einsum("ijak,kb->ijab", B["oovo"], t1, optimize=True))
 
-    if step <= 2 or not calculation.DIIS:
-        return t_amplitudes
 
-    errors = np.array(error_history)
-    n = len(error_history)
-    B = np.empty((n + 1, n + 1))
-    B[:n, :n] = errors @ errors.T
-    B[:n, -1] = -1
-    B[-1, :n] = -1
-    B[-1, -1] = 0.0
-    rhs = np.zeros(n + 1)
-    rhs[-1] = -1.0
+def _r_dressed_mosaic(B, t1, t2, with_t1: bool):
+    """Fock-dressed and ring-dressed intermediates for CCD/QCISD/CCSD.
 
-    try:
-        coeffs = np.linalg.solve(B, rhs)[:n]
-    except np.linalg.LinAlgError:
-        t_history.clear()
-        error_history.clear()
-        log("   (Resetting DIIS)", calculation, 1, end="", silent=silent)
-        return t_amplitudes
+    with_t1 = False gives the t2-only (CCD / QCISD) dressing; True gives the
+    fully tau-dressed CCSD set.
+    """
+    tau = _tau_of(t1, t2) if with_t1 else t2
+    dFoo = jnp.einsum("klcd,ilcd->ik", B["Loovv"], tau, optimize=True)
+    dFvv = -jnp.einsum("klcd,klad->ca", B["Loovv"], tau, optimize=True)
+    Fov = jnp.einsum("klcd,ld->kc", B["Loovv"], t1, optimize=True)
 
-    extrapolated = []
-    for block in range(len(t_amplitudes)):
-        if t_amplitudes[block] is None or t_history[0][block] is None:
-            extrapolated.append(t_amplitudes[block])
-        else:
-            stack = np.array([snap[block] for snap in t_history])
-            extrapolated.append(jnp.asarray(np.tensordot(coeffs, stack, axes=(0, 0))))
-    return tuple(extrapolated)
+    Woooo = B["oooo"] + jnp.einsum("klcd,ijcd->ijkl", B["oovv"], tau, optimize=True)
+    half = 0.5 * t2
+    if with_t1:
+        Woooo = Woooo + _sym_pair(
+            jnp.einsum("klic,jc->ijkl", B["ooov"], t1, optimize=True))
+        half = half + jnp.einsum("id,la->ilda", t1, t1, optimize=True)
+
+    Wovvo = (B["ovvo"]
+             - jnp.einsum("lkdc,ilda->icak", B["oovv"], half, optimize=True)
+             + 0.5 * jnp.einsum("lkdc,ilad->icak", B["Loovv"], t2, optimize=True))
+    Wovov = (B["ovov"]
+             - jnp.einsum("lkcd,ilda->icka", B["oovv"], half, optimize=True))
+    if with_t1:
+        Wovvo = (Wovvo
+                 - jnp.einsum("iclk,la->icak", B["ovoo"], t1, optimize=True)
+                 + jnp.einsum("kacd,id->icak", B["ovvv"], t1, optimize=True))
+        Wovov = (Wovov
+                 - jnp.einsum("ickl,la->icka", B["ovoo"], t1, optimize=True)
+                 + jnp.einsum("kadc,id->icka", B["ovvv"], t1, optimize=True))
+    return tau, dFoo, dFvv, Fov, Woooo, Wovvo, Wovov
 
 
 # ---------------------------------------------------------------------------
-# Restricted (spin-adapted) amplitude updates
+# Restricted residual -> new-amplitude maps
 # ---------------------------------------------------------------------------
+# Each update has signature (B, F_ov, d1, d2, t1, t2, aux) -> (t1_new, t2_new)
 
-def restricted_LCCD(g, o, v, t, e, w, F):
-    _, t_ijab, _, _ = t
-    _, e_ijab, _, _ = e
-    tmp = 0.5 * g[o, o, v, v] + 0.5 * jnp.einsum("ijkl,klab->ijab", g[o, o, o, o], t_ijab, optimize=True)
-    tmp += 0.5 * jnp.einsum("cdab,ijcd->ijab", g[v, v, v, v], t_ijab, optimize=True)
-    tmp += 2 * jnp.einsum("icak,kjcb->ijab", g[o, v, v, o], t_ijab, optimize=True)
-    tmp -= jnp.einsum("ciak,kjcb->ijab", g[v, o, v, o], t_ijab, optimize=True)
-    tmp -= jnp.einsum("icak,kjbc->ijab", g[o, v, v, o], t_ijab, optimize=True)
-    tmp -= jnp.einsum("cibk,kjac->ijab", g[v, o, v, o], t_ijab, optimize=True)
-    tmp += tmp.transpose(1, 0, 3, 2)
-    return None, e_ijab * tmp, None, None
+def _r_lccd(B, F_ov, d1, d2, t1, t2, aux):
+    r2 = (0.5 * B["oovv"] + _r_pair_ladder(B["oooo"], B["vvvv"], t2, t2)
+          + _r_rings(B["ovvo"], B["ovov"], t2))
+    return t1, d2 * _sym_pair(r2)
 
 
-def restricted_CCD(g, o, v, t, e, w, F):
-    _, t_ijab, _, _ = t
-    _, e_ijab, _, _ = e
-    F_ik = jnp.einsum("cdkl,ilcd->ik", w[v, v, o, o], t_ijab, optimize=True)
-    F_ca = -jnp.einsum("cdkl,klad->ca", w[v, v, o, o], t_ijab, optimize=True)
-    W_ijkl = g[o, o, o, o] + jnp.einsum("cdkl,ijcd->ijkl", g[v, v, o, o], t_ijab, optimize=True)
-    W_icak = (g[o, v, v, o] - 0.5 * jnp.einsum("dclk,ilda->icak", g[v, v, o, o], t_ijab, optimize=True)
-              + 0.5 * jnp.einsum("dclk,ilad->icak", w[v, v, o, o], t_ijab, optimize=True))
-    W_ciak = g[v, o, v, o] - 0.5 * jnp.einsum("cdlk,ilda->ciak", g[v, v, o, o], t_ijab, optimize=True)
-
-    tmp = 0.5 * g[o, o, v, v] + 0.5 * jnp.einsum("ijkl,klab->ijab", W_ijkl, t_ijab, optimize=True)
-    tmp += 0.5 * jnp.einsum("cdab,ijcd->ijab", g[v, v, v, v], t_ijab, optimize=True)
-    tmp += jnp.einsum("ca,ijcb->ijab", F_ca, t_ijab, optimize=True) - jnp.einsum("ik,kjab->ijab", F_ik, t_ijab, optimize=True)
-    tmp += 2 * jnp.einsum("icak,kjcb->ijab", W_icak, t_ijab, optimize=True) - jnp.einsum("ciak,kjcb->ijab", W_ciak, t_ijab, optimize=True)
-    tmp += -jnp.einsum("icak,kjbc->ijab", W_icak, t_ijab, optimize=True) - jnp.einsum("cibk,kjac->ijab", W_ciak, t_ijab, optimize=True)
-    tmp += tmp.transpose(1, 0, 3, 2)
-    return None, e_ijab * tmp, None, None
+def _r_cid(B, F_ov, d1, d2, t1, t2, aux):
+    r2 = _sym_pair(0.5 * B["oovv"] + _r_pair_ladder(B["oooo"], B["vvvv"], t2, t2)
+                   + _r_rings(B["ovvo"], B["ovov"], t2))
+    E_corr = jnp.einsum("ijab,ijab->", B["oovv"], _u_of(t2), optimize=True)
+    return t1, d2 * (r2 - E_corr * t2)
 
 
-def restricted_LCCSD(g, o, v, t, e, w, F):
-    t_ia, t_ijab, _, _ = t
-    e_ia, e_ijab, _, _ = e
-    tmp1 = jnp.einsum("icak,kc->ia", w[o, v, v, o], t_ia, optimize=True)
-    tmp1 += jnp.einsum("cdak,ikcd->ia", w[v, v, v, o], t_ijab, optimize=True)
-    tmp1 += -jnp.einsum("ickl,klac->ia", w[o, v, o, o], t_ijab, optimize=True)
-
-    tmp2 = 0.5 * g[o, o, v, v] + 0.5 * jnp.einsum("ijkl,klab->ijab", g[o, o, o, o], t_ijab, optimize=True)
-    tmp2 += 0.5 * jnp.einsum("cdab,ijcd->ijab", g[v, v, v, v], t_ijab, optimize=True)
-    tmp2 += jnp.einsum("icab,jc->ijab", g[o, v, v, v], t_ia, optimize=True) - jnp.einsum("ijak,kb->ijab", g[o, o, v, o], t_ia, optimize=True)
-    tmp2 += 2 * jnp.einsum("icak,kjcb->ijab", g[o, v, v, o], t_ijab, optimize=True) - jnp.einsum("ciak,kjcb->ijab", g[v, o, v, o], t_ijab, optimize=True)
-    tmp2 += -jnp.einsum("icak,kjbc->ijab", g[o, v, v, o], t_ijab, optimize=True) - jnp.einsum("cibk,kjac->ijab", g[v, o, v, o], t_ijab, optimize=True)
-    tmp2 += tmp2.transpose(1, 0, 3, 2)
-    return e_ia * tmp1, e_ijab * tmp2, None, None
+def _r_lccsd(B, F_ov, d1, d2, t1, t2, aux):
+    r1 = _r_singles_linear(B, t1, t2)
+    r2 = (0.5 * B["oovv"] + _r_pair_ladder(B["oooo"], B["vvvv"], t2, t2)
+          + _r_doubles_singles_driven(B, t1)
+          + _r_rings(B["ovvo"], B["ovov"], t2))
+    return d1 * r1, d2 * _sym_pair(r2)
 
 
-def restricted_CID(g, o, v, t, e, w, F):
-    _, t_ijab, _, _ = t
-    _, e_ijab, _, _ = e
-    tmp = 0.5 * g[o, o, v, v] + 0.5 * jnp.einsum("ijkl,klab->ijab", g[o, o, o, o], t_ijab, optimize=True)
-    tmp += 0.5 * jnp.einsum("cdab,ijcd->ijab", g[v, v, v, v], t_ijab, optimize=True)
-    tmp += 2 * jnp.einsum("icak,kjcb->ijab", g[o, v, v, o], t_ijab, optimize=True)
-    tmp += -jnp.einsum("ciak,kjcb->ijab", g[v, o, v, o], t_ijab, optimize=True)
-    tmp += -jnp.einsum("icak,kjbc->ijab", g[o, v, v, o], t_ijab, optimize=True)
-    tmp += -jnp.einsum("cibk,kjac->ijab", g[v, o, v, o], t_ijab, optimize=True)
-    tmp += tmp.transpose(1, 0, 3, 2)
-    E_corr = jnp.einsum("ijab,ijab->", g[o, o, v, v], 2 * t_ijab - t_ijab.swapaxes(2, 3), optimize=True)
-    tmp -= E_corr * t_ijab
-    return None, e_ijab * tmp, None, None
+def _r_cisd(B, F_ov, d1, d2, t1, t2, aux):
+    r1 = _r_singles_linear(B, t1, t2)
+    r2 = _sym_pair(0.5 * B["oovv"] + _r_doubles_singles_driven(B, t1)
+                   + _r_pair_ladder(B["oooo"], B["vvvv"], t2, t2)
+                   + _r_rings(B["ovvo"], B["ovov"], t2))
+    E_corr = jnp.einsum("ijab,ijab->", B["oovv"], _u_of(t2), optimize=True)
+    return d1 * (r1 - E_corr * t1), d2 * (r2 - E_corr * t2)
 
 
-def restricted_CISD(g, o, v, t, e, w, F):
-    t_ia, t_ijab, _, _ = t
-    e_ia, e_ijab, _, _ = e
-    tmp1 = jnp.einsum("icak,kc->ia", w[o, v, v, o], t_ia, optimize=True)
-    tmp1 += -jnp.einsum("ickl,klac->ia", w[o, v, o, o], t_ijab, optimize=True)
-    tmp1 += jnp.einsum("cdak,ikcd->ia", w[v, v, v, o], t_ijab, optimize=True)
-
-    tmp2 = 0.5 * g[o, o, v, v] + jnp.einsum("icab,jc->ijab", g[o, v, v, v], t_ia, optimize=True)
-    tmp2 += -jnp.einsum("ijak,kb->ijab", g[o, o, v, o], t_ia, optimize=True)
-    tmp2 += 0.5 * jnp.einsum("ijkl,klab->ijab", g[o, o, o, o], t_ijab, optimize=True)
-    tmp2 += 0.5 * jnp.einsum("cdab,ijcd->ijab", g[v, v, v, v], t_ijab, optimize=True)
-    tmp2 += 2 * jnp.einsum("icak,kjcb->ijab", g[o, v, v, o], t_ijab, optimize=True)
-    tmp2 += -jnp.einsum("ciak,kjcb->ijab", g[v, o, v, o], t_ijab, optimize=True)
-    tmp2 += -jnp.einsum("icak,kjbc->ijab", g[o, v, v, o], t_ijab, optimize=True)
-    tmp2 += -jnp.einsum("cibk,kjac->ijab", g[v, o, v, o], t_ijab, optimize=True)
-    tmp2 += tmp2.transpose(1, 0, 3, 2)
-
-    E_corr = jnp.einsum("ijab,ijab->", g[o, o, v, v], 2 * t_ijab - t_ijab.swapaxes(2, 3), optimize=True)
-    tmp1 -= E_corr * t_ia
-    tmp2 -= E_corr * t_ijab
-    return e_ia * tmp1, e_ijab * tmp2, None, None
+def _r_qcisd(B, F_ov, d1, d2, t1, t2, aux):
+    _, dFoo, dFvv, Fov, Woooo, Wovvo, Wovov = _r_dressed_mosaic(B, t1, t2, False)
+    r1 = (jnp.einsum("ca,ic->ia", dFvv, t1, optimize=True)
+          - jnp.einsum("ik,ka->ia", dFoo, t1, optimize=True)
+          + jnp.einsum("kc,kica->ia", Fov, _u_of(t2), optimize=True)
+          + _r_singles_linear(B, t1, t2))
+    r2 = (0.5 * B["oovv"] + _r_pair_ladder(Woooo, B["vvvv"], t2, t2)
+          + jnp.einsum("ca,ijcb->ijab", dFvv, t2, optimize=True)
+          - jnp.einsum("ik,kjab->ijab", dFoo, t2, optimize=True)
+          + _r_doubles_singles_driven(B, t1)
+          + _r_rings(Wovvo, Wovov, t2))
+    return d1 * r1, d2 * _sym_pair(r2)
 
 
-def restricted_QCISD(g, o, v, t, e, w, F):
-    t_ia, t_ijab, _, _ = t
-    e_ia, e_ijab, _, _ = e
-    F_ik = jnp.einsum("cdkl,ilcd->ik", w[v, v, o, o], t_ijab, optimize=True)
-    F_ca = -jnp.einsum("cdkl,klad->ca", w[v, v, o, o], t_ijab, optimize=True)
-    F_ck = jnp.einsum("cdkl,ld->ck", w[v, v, o, o], t_ia, optimize=True)
-    W_ijkl = g[o, o, o, o] + jnp.einsum("cdkl,ijcd->ijkl", g[v, v, o, o], t_ijab, optimize=True)
-    W_icak = (g[o, v, v, o] - 0.5 * jnp.einsum("dclk,ilda->icak", g[v, v, o, o], t_ijab, optimize=True)
-              + 0.5 * jnp.einsum("dclk,ilad->icak", w[v, v, o, o], t_ijab, optimize=True))
-    W_ciak = g[v, o, v, o] - 0.5 * jnp.einsum("cdlk,ilda->ciak", g[v, v, o, o], t_ijab, optimize=True)
+def _r_ccsd(B, F_ov, d1, d2, t1, t2, aux, freeze_singles: bool = False):
+    tau, dFoo, dFvv, Fov, Woooo, Wovvo, Wovov = _r_dressed_mosaic(B, t1, t2,
+                                                                  not freeze_singles)
+    dLoo = dFoo + jnp.einsum("ickl,lc->ik", B["Lovoo"], t1, optimize=True)
+    dLvv = dFvv + jnp.einsum("kadc,kd->ca", B["Lovvv"], t1, optimize=True)
 
-    tmp1 = (jnp.einsum("ca,ic->ia", F_ca, t_ia, optimize=True) - jnp.einsum("ik,ka->ia", F_ik, t_ia, optimize=True)
-            + jnp.einsum("ck,kica->ia", F_ck, 2 * t_ijab - t_ijab.swapaxes(0, 1), optimize=True))
-    tmp1 += jnp.einsum("icak,kc->ia", w[o, v, v, o], t_ia, optimize=True) + jnp.einsum("cdak,ikcd->ia", w[v, v, v, o], t_ijab, optimize=True)
-    tmp1 += -jnp.einsum("ickl,klac->ia", w[o, v, o, o], t_ijab, optimize=True)
+    Wvvvv = B["vvvv"]
+    if not freeze_singles:
+        Wvvvv = (Wvvvv
+                 - jnp.einsum("kadc,kb->abcd", B["ovvv"], t1, optimize=True)
+                 - jnp.einsum("kbcd,ka->abcd", B["ovvv"], t1, optimize=True))
 
-    tmp2 = (0.5 * g[o, o, v, v] + 0.5 * jnp.einsum("ijkl,klab->ijab", W_ijkl, t_ijab, optimize=True)
-            + 0.5 * jnp.einsum("cdab,ijcd->ijab", g[v, v, v, v], t_ijab, optimize=True))
-    tmp2 += jnp.einsum("ca,ijcb->ijab", F_ca, t_ijab, optimize=True) - jnp.einsum("ik,kjab->ijab", F_ik, t_ijab, optimize=True)
-    tmp2 += jnp.einsum("icab,jc->ijab", g[o, v, v, v], t_ia, optimize=True) - jnp.einsum("ijak,kb->ijab", g[o, o, v, o], t_ia, optimize=True)
-    tmp2 += (2 * jnp.einsum("icak,kjcb->ijab", W_icak, t_ijab, optimize=True)
-             - jnp.einsum("ciak,kjcb->ijab", W_ciak, t_ijab, optimize=True)
-             - jnp.einsum("icak,kjbc->ijab", W_icak, t_ijab, optimize=True)
-             - jnp.einsum("cibk,kjac->ijab", W_ciak, t_ijab, optimize=True))
-    tmp2 += tmp2.transpose(1, 0, 3, 2)
-    return e_ia * tmp1, e_ijab * tmp2, None, None
+    r1 = (jnp.einsum("ca,ic->ia", dFvv, t1, optimize=True)
+          - jnp.einsum("ik,ka->ia", dFoo, t1, optimize=True)
+          - jnp.einsum("ickl,klac->ia", B["Lovoo"], tau, optimize=True)
+          + jnp.einsum("kc,kica->ia", Fov, _u_of(t2), optimize=True)
+          + jnp.einsum("kc,ic,ka->ia", Fov, t1, t1, optimize=True)
+          + jnp.einsum("icak,kc->ia", B["Lovvo"], t1, optimize=True)
+          + jnp.einsum("kadc,ikcd->ia", B["Lovvv"], tau, optimize=True))
+
+    r2 = (0.5 * B["oovv"] + _r_pair_ladder(Woooo, Wvvvv, tau, tau)
+          + jnp.einsum("ca,ijcb->ijab", dLvv, t2, optimize=True)
+          - jnp.einsum("ik,kjab->ijab", dLoo, t2, optimize=True)
+          + jnp.einsum("icab,jc->ijab", B["ovvv"], t1, optimize=True)
+          - jnp.einsum("ickb,ka,jc->ijab", B["ovov"], t1, t1, optimize=True)
+          - jnp.einsum("ijak,kb->ijab", B["oovo"], t1, optimize=True)
+          - jnp.einsum("icak,jc,kb->ijab", B["ovvo"], t1, t1, optimize=True)
+          + _r_rings(Wovvo, Wovov, t2))
+
+    t1_new = t1 if freeze_singles else d1 * r1
+    return t1_new, d2 * _sym_pair(r2)
 
 
-def restricted_CCSD(g, o, v, t, e, w, F):
-    t_ia, t_ijab, _, _ = t
-    e_ia, e_ijab, _, _ = e
-
-    F_ik = (F[o, o] + jnp.einsum("cdkl,ilcd->ik", w[v, v, o, o], t_ijab, optimize=True)
-            + jnp.einsum("cdkl,ic,ld->ik", w[v, v, o, o], t_ia, t_ia, optimize=True))
-    F_ca = (F[v, v] - jnp.einsum("cdkl,klad->ca", w[v, v, o, o], t_ijab, optimize=True)
-            - jnp.einsum("cdkl,ka,ld->ca", w[v, v, o, o], t_ia, t_ia, optimize=True))
-    F_ck = jnp.einsum("cdkl,ld->ck", w[v, v, o, o], t_ia, optimize=True)
-
-    L_ik = F_ik + jnp.einsum("cilk,lc->ik", w[v, o, o, o], t_ia, optimize=True)
-    L_ca = F_ca + jnp.einsum("dcka,kd->ca", w[v, v, o, v], t_ia, optimize=True)
-
-    W_ijkl = (g[o, o, o, o] + jnp.einsum("cilk,jc->ijkl", g[v, o, o, o], t_ia, optimize=True)
-              + jnp.einsum("cjkl,ic->ijkl", g[v, o, o, o], t_ia, optimize=True))
-    W_ijkl += (jnp.einsum("cdkl,ijcd->ijkl", g[v, v, o, o], t_ijab, optimize=True)
-               + jnp.einsum("cdkl,ic,jd->ijkl", g[v, v, o, o], t_ia, t_ia, optimize=True))
-
-    W_cdab = (g[v, v, v, v] - jnp.einsum("dcka,kb->cdab", g[v, v, o, v], t_ia, optimize=True)
-              - jnp.einsum("cdkb,ka->cdab", g[v, v, o, v], t_ia, optimize=True))
-
-    W_icak = (g[o, v, v, o] - jnp.einsum("cikl,la->icak", g[v, o, o, o], t_ia, optimize=True)
-              + jnp.einsum("cdka,id->icak", g[v, v, o, v], t_ia, optimize=True))
-    W_icak += (-0.5 * jnp.einsum("dclk,ilda->icak", g[v, v, o, o], t_ijab, optimize=True)
-               - jnp.einsum("dclk,id,la->icak", g[v, v, o, o], t_ia, t_ia, optimize=True))
-    W_icak += 0.5 * jnp.einsum("dclk,ilad->icak", w[v, v, o, o], t_ijab, optimize=True)
-
-    W_ciak = (g[v, o, v, o] - jnp.einsum("cilk,la->ciak", g[v, o, o, o], t_ia, optimize=True)
-              + jnp.einsum("dcka,id->ciak", g[v, v, o, v], t_ia, optimize=True))
-    W_ciak += (-0.5 * jnp.einsum("cdlk,ilda->ciak", g[v, v, o, o], t_ijab, optimize=True)
-               - jnp.einsum("cdlk,id,la->ciak", g[v, v, o, o], t_ia, t_ia, optimize=True))
-
-    tmp1 = (jnp.einsum("ca,ic->ia", F_ca - F[v, v], t_ia, optimize=True)
-            - jnp.einsum("ik,ka->ia", F_ik - F[o, o], t_ia, optimize=True))
-    tmp1 += (-jnp.einsum("ickl,klac->ia", w[o, v, o, o], t_ijab, optimize=True)
-             - jnp.einsum("ickl,ka,lc->ia", w[o, v, o, o], t_ia, t_ia, optimize=True))
-    tmp1 += jnp.einsum("ck,kica->ia", F_ck, 2 * t_ijab - t_ijab.swapaxes(0, 1), optimize=True)
-    tmp1 += jnp.einsum("ck,ic,ka->ia", F_ck, t_ia, t_ia, optimize=True)
-    tmp1 += jnp.einsum("icak,kc->ia", w[o, v, v, o], t_ia, optimize=True)
-    tmp1 += jnp.einsum("cdak,ikcd->ia", w[v, v, v, o], t_ijab, optimize=True)
-    tmp1 += jnp.einsum("cdak,ic,kd->ia", w[v, v, v, o], t_ia, t_ia, optimize=True)
-
-    tmp2 = 0.5 * g[o, o, v, v] + 0.5 * jnp.einsum("ijkl,klab->ijab", W_ijkl, t_ijab, optimize=True)
-    tmp2 += 0.5 * jnp.einsum("ijkl,ka,lb->ijab", W_ijkl, t_ia, t_ia, optimize=True)
-    tmp2 += 0.5 * jnp.einsum("cdab,ijcd->ijab", W_cdab, t_ijab, optimize=True)
-    tmp2 += 0.5 * jnp.einsum("cdab,ic,jd->ijab", W_cdab, t_ia, t_ia, optimize=True)
-    tmp2 += jnp.einsum("ca,ijcb->ijab", L_ca - F[v, v], t_ijab, optimize=True)
-    tmp2 += -jnp.einsum("ik,kjab->ijab", L_ik - F[o, o], t_ijab, optimize=True)
-    tmp2 += jnp.einsum("icab,jc->ijab", g[o, v, v, v], t_ia, optimize=True)
-    tmp2 += -jnp.einsum("ickb,ka,jc->ijab", g[o, v, o, v], t_ia, t_ia, optimize=True)
-    tmp2 += -jnp.einsum("ijak,kb->ijab", g[o, o, v, o], t_ia, optimize=True)
-    tmp2 += -jnp.einsum("icak,jc,kb->ijab", g[o, v, v, o], t_ia, t_ia, optimize=True)
-    tmp2 += 2 * jnp.einsum("icak,kjcb->ijab", W_icak, t_ijab, optimize=True)
-    tmp2 += -jnp.einsum("ciak,kjcb->ijab", W_ciak, t_ijab, optimize=True)
-    tmp2 += -jnp.einsum("icak,kjbc->ijab", W_icak, t_ijab, optimize=True)
-    tmp2 += -jnp.einsum("cibk,kjac->ijab", W_ciak, t_ijab, optimize=True)
-    tmp2 += tmp2.transpose(1, 0, 3, 2)
-
-    return e_ia * tmp1, e_ijab * tmp2, None, None
+def _r_ccd(B, F_ov, d1, d2, t1, t2, aux):
+    """CCD = CCSD with the singles channel frozen at zero."""
+    return _r_ccsd(B, F_ov, d1, d2, jnp.zeros_like(t1), t2, aux,
+                   freeze_singles=True)
 
 
 # ---------------------------------------------------------------------------
-# Unrestricted (spin-orbital) amplitude updates
+# T1-dressed restricted CC2 / CC3 (rebuild MO integrals every iteration)
 # ---------------------------------------------------------------------------
 
-def unrestricted_LCCD(g, o, v, t, e, F):
-    _, t_ijab, _, _ = t
-    _, e_ijab, _, _ = e
-    tmp = g[o, o, v, v] + 0.5 * jnp.einsum("cdab,ijcd->ijab", g[v, v, v, v], t_ijab, optimize=True)
-    tmp += 0.5 * jnp.einsum("ijkl,klab->ijab", g[o, o, o, o], t_ijab, optimize=True)
-    tmp += permute(permute(jnp.einsum("icak,jkbc->ijab", g[o, v, v, o], t_ijab, optimize=True), 2, 3), 0, 1)
-    return None, e_ijab * tmp, None, None
-
-
-def unrestricted_CCD(g, o, v, t, e, F):
-    _, t_ijab, _, _ = t
-    _, e_ijab, _, _ = e
-    tmp = g[o, o, v, v] + 0.5 * jnp.einsum("cdab,ijcd->ijab", g[v, v, v, v], t_ijab, optimize=True)
-    tmp += 0.5 * jnp.einsum("ijkl,klab->ijab", g[o, o, o, o], t_ijab, optimize=True)
-    tmp += permute(permute(jnp.einsum("icak,jkbc->ijab", g[o, v, v, o], t_ijab, optimize=True), 2, 3), 0, 1)
-    tmp += -0.5 * permute(jnp.einsum("cdkl,ijac,klbd->ijab", g[v, v, o, o], t_ijab, t_ijab, optimize=True), 2, 3)
-    tmp += -0.5 * permute(jnp.einsum("cdkl,ikab,jlcd->ijab", g[v, v, o, o], t_ijab, t_ijab, optimize=True), 0, 1)
-    tmp += 0.25 * jnp.einsum("cdkl,ijcd,klab->ijab", g[v, v, o, o], t_ijab, t_ijab, optimize=True)
-    tmp += permute(jnp.einsum("cdkl,ikac,jlbd->ijab", g[v, v, o, o], t_ijab, t_ijab, optimize=True), 0, 1)
-    return None, e_ijab * tmp, None, None
-
-
-def unrestricted_LCCSD(g, o, v, t, e, F):
-    t_ia, t_ijab, _, _ = t
-    e_ia, e_ijab, _, _ = e
-    tmp1 = F[o, v] + jnp.einsum("ac,ic->ia", F[v, v], t_ia, optimize=True)
-    tmp1 += jnp.einsum("kc,ikac->ia", F[o, v], t_ijab, optimize=True) - jnp.einsum("ki,ka->ia", F[o, o], t_ia, optimize=True)
-    tmp1 += jnp.einsum("kaci,kc->ia", g[o, v, v, o], t_ia, optimize=True)
-    tmp1 += 0.5 * jnp.einsum("kacd,kicd->ia", g[o, v, v, v], t_ijab, optimize=True) - 0.5 * jnp.einsum("klci,klca->ia", g[o, o, v, o], t_ijab, optimize=True)
-
-    tmp2 = g[o, o, v, v] + 0.5 * jnp.einsum("cdab,ijcd->ijab", g[v, v, v, v], t_ijab, optimize=True)
-    tmp2 += 0.5 * jnp.einsum("ijkl,klab->ijab", g[o, o, o, o], t_ijab, optimize=True)
-    tmp2 += permute(permute(jnp.einsum("icak,jkbc->ijab", g[o, v, v, o], t_ijab, optimize=True), 2, 3), 0, 1)
-    tmp2 += permute(jnp.einsum("bc,ijac->ijab", F[v, v], t_ijab, optimize=True), 2, 3)
-    tmp2 += -permute(jnp.einsum("kj,ikab->ijab", F[o, o], t_ijab, optimize=True), 0, 1)
-    tmp2 += permute(jnp.einsum("abcj,ic->ijab", g[v, v, v, o], t_ia, optimize=True), 0, 1)
-    tmp2 += -permute(jnp.einsum("kbij,ka->ijab", g[o, v, o, o], t_ia, optimize=True), 2, 3)
-
-    # Incremental update (reference quirk, tuna_cc.py:1118-1119)
-    return t_ia + e_ia * tmp1, t_ijab + e_ijab * tmp2, None, None
-
-
-def unrestricted_CID(g, o, v, t, e, F):
-    _, t_ijab, _, _ = t
-    _, e_ijab, _, _ = e
-    delta = jnp.eye(F.shape[1])
-    F_ae = F[v, v] - delta[v, v] * F[v, v]
-    tmp = g[o, o, v, v] + permute(jnp.einsum("ijae,be->ijab", t_ijab, F_ae, optimize=True), 2, 3)
-    tmp += 0.5 * jnp.einsum("mnab,mnij->ijab", t_ijab, g[o, o, o, o], optimize=True)
-    tmp += 0.5 * jnp.einsum("ijef,abef->ijab", t_ijab, g[v, v, v, v], optimize=True)
-    tmp += permute(permute(jnp.einsum("imae,mbej->ijab", t_ijab, g[o, v, v, o], optimize=True), 2, 3), 0, 1)
-    E_corr = 0.25 * jnp.einsum("ijab,ijab->", g[o, o, v, v], t_ijab, optimize=True)
-    tmp -= E_corr * t_ijab
-    return None, e_ijab * tmp, None, None
-
-
-def unrestricted_CISD(g, o, v, t, e, F):
-    t_ia, t_ijab, _, _ = t
-    e_ia, e_ijab, _, _ = e
-    delta = jnp.eye(F.shape[1])
-    F_ae = F[v, v] - delta[v, v] * F[v, v]
-    F_mi = F[o, o] - delta[o, o] * F[o, o]
-
-    tmp1 = F[o, v] + jnp.einsum("ie,ae->ia", t_ia, F_ae, optimize=True) - jnp.einsum("ma,mi->ia", t_ia, F_mi, optimize=True)
-    tmp1 += jnp.einsum("imae,me->ia", t_ijab, F[o, v], optimize=True) - jnp.einsum("nf,naif->ia", t_ia, g[o, v, o, v], optimize=True)
-    tmp1 += -0.5 * jnp.einsum("imef,maef->ia", t_ijab, g[o, v, v, v], optimize=True) - 0.5 * jnp.einsum("mnae,nmei->ia", t_ijab, g[o, o, v, o], optimize=True)
-
-    tmp2 = g[o, o, v, v] + permute(jnp.einsum("ijae,be->ijab", t_ijab, F_ae, optimize=True), 2, 3)
-    tmp2 += 0.5 * jnp.einsum("mnab,mnij->ijab", t_ijab, g[o, o, o, o], optimize=True)
-    tmp2 += 0.5 * jnp.einsum("ijef,abef->ijab", t_ijab, g[v, v, v, v], optimize=True)
-    tmp2 += permute(permute(jnp.einsum("imae,mbej->ijab", t_ijab, g[o, v, v, o], optimize=True), 2, 3), 0, 1)
-    tmp2 += permute(jnp.einsum("ie,abej->ijab", t_ia, g[v, v, v, o], optimize=True), 0, 1)
-    tmp2 += -permute(jnp.einsum("ma,mbij->ijab", t_ia, g[o, v, o, o], optimize=True), 2, 3)
-
-    E_corr = 0.25 * jnp.einsum("ijab,ijab->", g[o, o, v, v], t_ijab, optimize=True)
-    tmp1 -= E_corr * t_ia
-    tmp2 -= E_corr * t_ijab
-    return e_ia * tmp1, e_ijab * tmp2, None, None
-
-
-def unrestricted_QCISD(g, o, v, t, e, F):
-    t_ia, t_ijab, _, _ = t
-    e_ia, e_ijab, _, _ = e
-    delta = jnp.eye(F.shape[1])
-    F_ae = F[v, v] - delta[v, v] * F[v, v] - 0.5 * jnp.einsum("mnaf,mnef->ae", t_ijab, g[o, o, v, v], optimize=True)
-    F_mi = F[o, o] - delta[o, o] * F[o, o] + 0.5 * jnp.einsum("inef,mnef->mi", t_ijab, g[o, o, v, v], optimize=True)
-    F_me = F[o, v] + jnp.einsum("nf,mnef->me", t_ia, g[o, o, v, v], optimize=True)
-
-    W_mnij = g[o, o, o, o] + 0.25 * jnp.einsum("ijef,mnef->mnij", t_ijab, g[o, o, v, v], optimize=True)
-    W_abef = g[v, v, v, v] + 0.25 * jnp.einsum("mnab,mnef->abef", t_ijab, g[o, o, v, v], optimize=True)
-    W_mbej = g[o, v, v, o] - jnp.einsum("jnfb,mnef->mbej", 0.5 * t_ijab, g[o, o, v, v], optimize=True)
-
-    tmp1 = F[o, v] + jnp.einsum("ie,ae->ia", t_ia, F_ae, optimize=True) - jnp.einsum("ma,mi->ia", t_ia, F_mi, optimize=True)
-    tmp1 += jnp.einsum("imae,me->ia", t_ijab, F_me, optimize=True) - jnp.einsum("nf,naif->ia", t_ia, g[o, v, o, v], optimize=True)
-    tmp1 += -0.5 * jnp.einsum("imef,maef->ia", t_ijab, g[o, v, v, v], optimize=True) - 0.5 * jnp.einsum("mnae,nmei->ia", t_ijab, g[o, o, v, o], optimize=True)
-
-    tmp2 = g[o, o, v, v] + permute(jnp.einsum("ijae,be->ijab", t_ijab, F_ae, optimize=True), 2, 3)
-    tmp2 += -permute(jnp.einsum("imab,mj->ijab", t_ijab, F_mi, optimize=True), 0, 1)
-    tmp2 += 0.5 * jnp.einsum("mnab,mnij->ijab", t_ijab, W_mnij, optimize=True)
-    tmp2 += 0.5 * jnp.einsum("ijef,abef->ijab", t_ijab, W_abef, optimize=True)
-    tmp2 += permute(permute(jnp.einsum("imae,mbej->ijab", t_ijab, W_mbej, optimize=True), 2, 3), 0, 1)
-    tmp2 += permute(jnp.einsum("ie,abej->ijab", t_ia, g[v, v, v, o], optimize=True), 0, 1)
-    tmp2 += -permute(jnp.einsum("ma,mbij->ijab", t_ia, g[o, v, o, o], optimize=True), 2, 3)
-    return e_ia * tmp1, e_ijab * tmp2, None, None
-
-
-def unrestricted_CCSD(g, o, v, t, e, F):
-    t_ia, t_ijab, _, _ = t
-    e_ia, e_ijab, _, _ = e
-    delta = jnp.eye(F.shape[1])
-
-    tau_tilde = t_ijab + 0.5 * (jnp.einsum("ia,jb->ijab", t_ia, t_ia, optimize=True)
-                                - jnp.einsum("ib,ja->ijab", t_ia, t_ia, optimize=True))
-    tau = t_ijab + (jnp.einsum("ia,jb->ijab", t_ia, t_ia, optimize=True)
-                    - jnp.einsum("ib,ja->ijab", t_ia, t_ia, optimize=True))
-
-    F_ae = F[v, v] - delta[v, v] * F[v, v] - 0.5 * jnp.einsum("me,ma->ae", F[o, v], t_ia, optimize=True)
-    F_ae += (jnp.einsum("mf,mafe->ae", t_ia, g[o, v, v, v], optimize=True)
-             - 0.5 * jnp.einsum("mnaf,mnef->ae", tau_tilde, g[o, o, v, v], optimize=True))
-    F_mi = F[o, o] - delta[o, o] * F[o, o] + 0.5 * jnp.einsum("ie,me->mi", t_ia, F[o, v], optimize=True)
-    F_mi += (jnp.einsum("ne,mnie->mi", t_ia, g[o, o, o, v], optimize=True)
-             + 0.5 * jnp.einsum("inef,mnef->mi", tau_tilde, g[o, o, v, v], optimize=True))
-    F_me = F[o, v] + jnp.einsum("nf,mnef->me", t_ia, g[o, o, v, v], optimize=True)
-
-    W_mnij = g[o, o, o, o] + permute(jnp.einsum("je,mnie->mnij", t_ia, g[o, o, o, v], optimize=True), 2, 3)
-    W_mnij += 0.25 * jnp.einsum("ijef,mnef->mnij", tau, g[o, o, v, v], optimize=True)
-    W_abef = g[v, v, v, v] - permute(jnp.einsum("mb,amef->abef", t_ia, g[v, o, v, v], optimize=True), 0, 1)
-    W_abef += 0.25 * jnp.einsum("mnab,mnef->abef", tau, g[o, o, v, v], optimize=True)
-    W_mbej = g[o, v, v, o] + jnp.einsum("jf,mbef->mbej", t_ia, g[o, v, v, v], optimize=True)
-    W_mbej += -jnp.einsum("nb,mnej->mbej", t_ia, g[o, o, v, o], optimize=True)
-    W_mbej += -jnp.einsum("jnfb,mnef->mbej",
-                          0.5 * t_ijab + jnp.einsum("jf,nb->jnfb", t_ia, t_ia, optimize=True),
-                          g[o, o, v, v], optimize=True)
-
-    tmp1 = F[o, v] + jnp.einsum("ie,ae->ia", t_ia, F_ae, optimize=True) - jnp.einsum("ma,mi->ia", t_ia, F_mi, optimize=True)
-    tmp1 += jnp.einsum("imae,me->ia", t_ijab, F_me, optimize=True) - jnp.einsum("nf,naif->ia", t_ia, g[o, v, o, v], optimize=True)
-    tmp1 += -0.5 * jnp.einsum("imef,maef->ia", t_ijab, g[o, v, v, v], optimize=True) - 0.5 * jnp.einsum("mnae,nmei->ia", t_ijab, g[o, o, v, o], optimize=True)
-
-    tmp2 = g[o, o, v, v] + permute(jnp.einsum(
-        "ijae,be->ijab", t_ijab,
-        F_ae - 0.5 * jnp.einsum("mb,me->be", t_ia, F_me, optimize=True), optimize=True), 2, 3)
-    tmp2 += -permute(jnp.einsum(
-        "imab,mj->ijab", t_ijab,
-        F_mi + 0.5 * jnp.einsum("je,me->mj", t_ia, F_me, optimize=True), optimize=True), 0, 1)
-    tmp2 += 0.5 * jnp.einsum("mnab,mnij->ijab", tau, W_mnij, optimize=True)
-    tmp2 += 0.5 * jnp.einsum("ijef,abef->ijab", tau, W_abef, optimize=True)
-    tmp2 += permute(permute(
-        jnp.einsum("imae,mbej->ijab", t_ijab, W_mbej, optimize=True)
-        - jnp.einsum("ie,ma,mbej->ijab", t_ia, t_ia, g[o, v, v, o], optimize=True), 2, 3), 0, 1)
-    tmp2 += permute(jnp.einsum("ie,abej->ijab", t_ia, g[v, v, v, o], optimize=True), 0, 1)
-    tmp2 += -permute(jnp.einsum("ma,mbij->ijab", t_ia, g[o, v, o, o], optimize=True), 2, 3)
-    return e_ia * tmp1, e_ijab * tmp2, None, None
-
-
-# ---------------------------------------------------------------------------
-# T1-dressed restricted CC2 / CC3
-# ---------------------------------------------------------------------------
-
-def _t1_dress(molecular_orbitals, t_ia, o, v):
-    C = jnp.asarray(molecular_orbitals)
-    X = C.at[:, v].add(-C[:, o] @ t_ia)
-    Y = C.at[:, o].add(C[:, v] @ t_ia.T)
+def _t1_dressed_orbitals(C, t1, o, v):
+    X = C.at[:, v].add(-C[:, o] @ t1)
+    Y = C.at[:, o].add(C[:, v] @ t1.T)
     return X, Y
 
 
-def restricted_CC2(o, v, t, e, molecular_orbitals, integrals):
-    t_ia, _, _, _ = t
-    e_ia, e_ijab, _, _ = e
-    X, Y = _t1_dress(molecular_orbitals, t_ia, o, v)
-    ERI_AO = jnp.asarray(integrals.ERI_AO)
-    h_hat = jnp.einsum("ap,bq,ab->pq", X, Y, jnp.asarray(integrals.H_core), optimize=True)
-
-    g_vovo = jnp.einsum("ap,bq,gr,ds,abgd->pqrs", X[:, v], Y[:, o], X[:, v], Y[:, o], ERI_AO, optimize=True)
-    g_ovvv = jnp.einsum("ap,bq,gr,ds,abgd->pqrs", X[:, o], Y[:, v], X[:, v], Y[:, v], ERI_AO, optimize=True)
-    g_ooov = jnp.einsum("ap,bq,gr,ds,abgd->pqrs", X[:, o], Y[:, o], X[:, o], Y[:, v], ERI_AO, optimize=True)
-    g_oovo = jnp.einsum("ap,bq,gr,ds,abgd->pqrs", X[:, o], Y[:, o], X[:, v], Y[:, o], ERI_AO, optimize=True)
-    g_ovoo = jnp.einsum("ap,bq,gr,ds,abgd->pqrs", X[:, o], Y[:, v], X[:, o], Y[:, o], ERI_AO, optimize=True)
-
-    F_vo = h_hat[v, o] + 2 * jnp.einsum("kkai->ai", g_oovo, optimize=True) - jnp.einsum("kiak->ai", g_oovo, optimize=True)
-    F_ov = h_hat[o, v] + 2 * jnp.einsum("kkia->ia", g_ooov, optimize=True) - jnp.einsum("kaik->ia", g_ovoo, optimize=True)
-
-    t_ijab = g_vovo.transpose(1, 3, 0, 2) * e_ijab
-    u_ijab = 2 * t_ijab - t_ijab.swapaxes(2, 3)
-
-    A_ia = jnp.einsum("kicd,kcad->ia", u_ijab, g_ovvv, optimize=True)
-    B_ia = -jnp.einsum("klac,kilc->ia", u_ijab, g_ooov, optimize=True)
-    C_ia = jnp.einsum("kc,ikac->ia", F_ov, u_ijab, optimize=True)
-    residual_ia = F_vo.swapaxes(0, 1) + A_ia + B_ia + C_ia
-
-    return t_ia + e_ia * residual_ia, t_ijab, None, None
+def _dressed_block(ERI_AO, X, Y, s1, s2, s3, s4):
+    """(X_s1 Y_s2 | X_s3 Y_s4)-transformed chemists' block of the AO ERI."""
+    out = jnp.tensordot(X[:, s1], ERI_AO, axes=(0, 0))
+    out = jnp.tensordot(Y[:, s2], out, axes=(0, 1)).transpose(1, 0, 2, 3)
+    out = jnp.tensordot(X[:, s3], out, axes=(0, 2)).transpose(1, 2, 0, 3)
+    return jnp.tensordot(Y[:, s4], out, axes=(0, 3)).transpose(1, 2, 3, 0)
 
 
-def restricted_CC3(o, v, t, e, molecular_orbitals, integrals):
+def _r_cc2(B, F_ov, d1, d2, t1, t2_unused, aux):
+    """CC2: exact singles, first-order doubles in the T1-dressed basis."""
+    o, v = aux["o"], aux["v"]
+    ERI_AO, C, H = aux["ERI_AO"], aux["C"], aux["H_core"]
+    X, Y = _t1_dressed_orbitals(C, t1, o, v)
+    h_hat = X.T @ H @ Y
+
+    g_vovo = _dressed_block(ERI_AO, X, Y, v, o, v, o)
+    g_ovvv = _dressed_block(ERI_AO, X, Y, o, v, v, v)
+    g_ooov = _dressed_block(ERI_AO, X, Y, o, o, o, v)
+    g_oovo = _dressed_block(ERI_AO, X, Y, o, o, v, o)
+    g_ovoo = _dressed_block(ERI_AO, X, Y, o, v, o, o)
+
+    F_vo = (h_hat[v, o] + 2.0 * jnp.einsum("kkai->ai", g_oovo, optimize=True)
+            - jnp.einsum("kiak->ai", g_oovo, optimize=True))
+    F_ov_hat = (h_hat[o, v] + 2.0 * jnp.einsum("kkia->ia", g_ooov, optimize=True)
+                - jnp.einsum("kaik->ia", g_ovoo, optimize=True))
+
+    t2 = g_vovo.transpose(1, 3, 0, 2) * d2
+    u2 = _u_of(t2)
+
+    r1 = (F_vo.T
+          + jnp.einsum("kicd,kcad->ia", u2, g_ovvv, optimize=True)
+          - jnp.einsum("klac,kilc->ia", u2, g_ooov, optimize=True)
+          + jnp.einsum("kc,ikac->ia", F_ov_hat, u2, optimize=True))
+    return t1 + d1 * r1, t2
+
+
+def _r_cc3(B, F_ov, d1, d2, t1, t2, aux):
+    """CC3: CCSD-like doubles plus approximate triples, T1-dressed."""
     from .mp import second_order_triples_amplitudes
 
-    t_ia, t_ijab, _, _ = t
-    e_ia, e_ijab, e_ijkabc, _ = e
-    X, Y = _t1_dress(molecular_orbitals, t_ia, o, v)
-    ERI_AO = jnp.asarray(integrals.ERI_AO)
-    g_hat = jnp.einsum("ap,bq,gr,ds,abgd->pqrs", X, Y, X, Y, ERI_AO, optimize=True)
-    h_hat = jnp.einsum("ap,bq,ab->pq", X, Y, jnp.asarray(integrals.H_core), optimize=True)
+    o, v = aux["o"], aux["v"]
+    ERI_AO, C, H, d3 = aux["ERI_AO"], aux["C"], aux["H_core"], aux["d3"]
+    X, Y = _t1_dressed_orbitals(C, t1, o, v)
+    all_idx = slice(None)
+    g_hat = _dressed_block(ERI_AO, X, Y, all_idx, all_idx, all_idx, all_idx)
+    h_hat = X.T @ H @ Y
 
-    l_hat = 2 * g_hat - g_hat.swapaxes(1, 3)
-    u_ijab = 2 * t_ijab - t_ijab.swapaxes(2, 3)
+    l_hat = 2.0 * g_hat - g_hat.swapaxes(1, 3)
+    u2 = _u_of(t2)
     occ_all = slice(0, o.stop)
-    F_hat = h_hat + jnp.einsum("kkpq->pq", l_hat[occ_all, occ_all, :, :], optimize=True)
+    F_hat = h_hat + jnp.einsum("kkpq->pq", l_hat[occ_all, occ_all, :, :],
+                               optimize=True)
 
-    A_ia = jnp.einsum("kicd,kcad->ia", u_ijab, g_hat[o, v, v, v], optimize=True)
-    B_ia = -jnp.einsum("klac,kilc->ia", u_ijab, g_hat[o, o, o, v], optimize=True)
-    C_ia = jnp.einsum("kc,ikac->ia", F_hat[o, v], u_ijab, optimize=True)
+    A_ia = jnp.einsum("kicd,kcad->ia", u2, g_hat[o, v, v, v], optimize=True)
+    B_ia = -jnp.einsum("klac,kilc->ia", u2, g_hat[o, o, o, v], optimize=True)
+    C_ia = jnp.einsum("kc,ikac->ia", F_hat[o, v], u2, optimize=True)
 
-    beta_ijkl = g_hat[o, o, o, o].transpose(1, 3, 0, 2) + jnp.einsum("ijcd,kcld->ijkl", t_ijab, g_hat[o, v, o, v], optimize=True)
-    gamma_kiac = g_hat[o, o, v, v] - 0.5 * jnp.einsum("liad,kdlc->kiac", t_ijab, g_hat[o, v, o, v], optimize=True)
-    delta_aikc = 2 * g_hat[v, o, o, v] - g_hat[o, o, v, v].transpose(2, 1, 0, 3)
-    delta_aikc += 0.5 * jnp.einsum("ilad,ldkc->aikc", u_ijab,
-                                   2 * g_hat[o, v, o, v] - g_hat[o, v, o, v].swapaxes(1, 3), optimize=True)
-    Ftt_bc = F_hat[v, v] - jnp.einsum("klbd,ldkc->bc", u_ijab, g_hat[o, v, o, v], optimize=True)
-    Ftt_kj = F_hat[o, o] + jnp.einsum("ljcd,kdlc->kj", u_ijab, g_hat[o, v, o, v], optimize=True)
+    beta = (g_hat[o, o, o, o].transpose(1, 3, 0, 2)
+            + jnp.einsum("ijcd,kcld->ijkl", t2, g_hat[o, v, o, v], optimize=True))
+    gamma = (g_hat[o, o, v, v]
+             - 0.5 * jnp.einsum("liad,kdlc->kiac", t2, g_hat[o, v, o, v], optimize=True))
+    delta = 2.0 * g_hat[v, o, o, v] - g_hat[o, o, v, v].transpose(2, 1, 0, 3)
+    delta = delta + 0.5 * jnp.einsum(
+        "ilad,ldkc->aikc", u2,
+        2.0 * g_hat[o, v, o, v] - g_hat[o, v, o, v].swapaxes(1, 3), optimize=True)
+    Fvv_tt = F_hat[v, v] - jnp.einsum("klbd,ldkc->bc", u2, g_hat[o, v, o, v],
+                                      optimize=True)
+    Foo_tt = F_hat[o, o] + jnp.einsum("ljcd,kdlc->kj", u2, g_hat[o, v, o, v],
+                                      optimize=True)
 
-    A_ijab = jnp.einsum("ijcd,acbd->ijab", t_ijab, g_hat[v, v, v, v], optimize=True)
-    B_ijab = jnp.einsum("klab,ijkl->ijab", t_ijab, beta_ijkl, optimize=True)
-    C_ijab = -jnp.einsum("kjbc,kiac->ijab", t_ijab, gamma_kiac, optimize=True)
-    D_ijab = 0.5 * jnp.einsum("jkbc,aikc->ijab", u_ijab, delta_aikc, optimize=True)
-    E_ijab = jnp.einsum("ijac,bc->ijab", t_ijab, Ftt_bc, optimize=True)
-    G_ijab = -jnp.einsum("ikab,kj->ijab", t_ijab, Ftt_kj, optimize=True)
+    A2 = jnp.einsum("ijcd,acbd->ijab", t2, g_hat[v, v, v, v], optimize=True)
+    B2 = jnp.einsum("klab,ijkl->ijab", t2, beta, optimize=True)
+    C2 = -jnp.einsum("kjbc,kiac->ijab", t2, gamma, optimize=True)
+    D2 = 0.5 * jnp.einsum("jkbc,aikc->ijab", u2, delta, optimize=True)
+    E2 = jnp.einsum("ijac,bc->ijab", t2, Fvv_tt, optimize=True)
+    G2 = -jnp.einsum("ikab,kj->ijab", t2, Foo_tt, optimize=True)
 
-    t_ijkabc = second_order_triples_amplitudes(e_ijkabc, t_ijab, g_hat, o, v)
-    u_ijkabc = 2 * t_ijkabc - t_ijkabc.swapaxes(3, 4) - t_ijkabc.swapaxes(3, 5)
+    t3 = second_order_triples_amplitudes(d3, t2, g_hat, o, v)
+    u3 = 2.0 * t3 - t3.swapaxes(3, 4) - t3.swapaxes(3, 5)
 
-    temp_ijab = jnp.einsum("kc,ijkabc->ijab", F_hat[o, v], t_ijkabc - t_ijkabc.swapaxes(4, 5), optimize=True)
-    temp_ijab += jnp.einsum("ackd,ijkcbd->ijab", g_hat[v, v, o, v],
-                            2 * t_ijkabc - t_ijkabc.swapaxes(4, 5) - t_ijkabc.swapaxes(3, 5), optimize=True)
-    temp_ijab += -jnp.einsum("kilc,ljkcba->ijab", g_hat[o, o, o, v], u_ijkabc, optimize=True)
+    trip2 = jnp.einsum("kc,ijkabc->ijab", F_hat[o, v],
+                       t3 - t3.swapaxes(4, 5), optimize=True)
+    trip2 = trip2 + jnp.einsum(
+        "ackd,ijkcbd->ijab", g_hat[v, v, o, v],
+        2.0 * t3 - t3.swapaxes(4, 5) - t3.swapaxes(3, 5), optimize=True)
+    trip2 = trip2 - jnp.einsum("kilc,ljkcba->ijab", g_hat[o, o, o, v], u3,
+                               optimize=True)
 
-    residual_ia = F_hat[v, o].swapaxes(0, 1) + A_ia + B_ia + C_ia
-    residual_ijab = g_hat[v, o, v, o].transpose(1, 3, 0, 2) + A_ijab + B_ijab
-    residual_ijab += permute_symmetric(0.5 * C_ijab + C_ijab.swapaxes(0, 1) + D_ijab + E_ijab + G_ijab, (0, 1), (2, 3))
-    residual_ia += jnp.einsum("jbkc,ijkabc->ia", l_hat[o, v, o, v], t_ijkabc - t_ijkabc.swapaxes(3, 4), optimize=True)
-    residual_ijab += permute_symmetric(temp_ijab, (0, 1), (2, 3))
+    r1 = F_hat[v, o].T + A_ia + B_ia + C_ia
+    r1 = r1 + jnp.einsum("jbkc,ijkabc->ia", l_hat[o, v, o, v],
+                         t3 - t3.swapaxes(3, 4), optimize=True)
+    r2 = g_hat[v, o, v, o].transpose(1, 3, 0, 2) + A2 + B2
+    r2 = r2 + permute_symmetric(0.5 * C2 + C2.swapaxes(0, 1) + D2 + E2 + G2,
+                                (0, 1), (2, 3))
+    r2 = r2 + permute_symmetric(trip2, (0, 1), (2, 3))
 
-    return t_ia + e_ia * residual_ia, t_ijab + e_ijab * residual_ijab, None, None
+    return t1 + d1 * r1, t2 + d2 * r2
 
 
 # ---------------------------------------------------------------------------
-# Perturbative triples and quadruples
+# Unrestricted (spin-orbital) residual maps
 # ---------------------------------------------------------------------------
+
+def _u_so_tau(t1, t2, factor):
+    pair = jnp.einsum("ia,jb->ijab", t1, t1, optimize=True)
+    return t2 + factor * (pair - pair.swapaxes(2, 3))
+
+
+def _u_linear_doubles(B, F_oo_off, F_vv_off, t1, t2, with_fock: bool):
+    """Linear doubles terms shared by every spin-orbital method."""
+    r = (B["oovv"]
+         + 0.5 * jnp.einsum("abcd,ijcd->ijab", B["vvvv"], t2, optimize=True)
+         + 0.5 * jnp.einsum("ijkl,klab->ijab", B["oooo"], t2, optimize=True)
+         + permute(permute(jnp.einsum("icak,jkbc->ijab", B["ovvo"], t2,
+                                      optimize=True), 2, 3), 0, 1))
+    if with_fock:
+        r = r + permute(jnp.einsum("ijae,be->ijab", t2, F_vv_off, optimize=True), 2, 3)
+        r = r - permute(jnp.einsum("imab,mj->ijab", t2, F_oo_off, optimize=True), 0, 1)
+    return r
+
+
+def _u_singles_driven(B, t1):
+    return (permute(jnp.einsum("abcj,ic->ijab", B["vvvo"], t1, optimize=True), 0, 1)
+            - permute(jnp.einsum("kbij,ka->ijab", B["ovoo"], t1, optimize=True), 2, 3))
+
+
+def _u_linear_singles(B, F, o, v, t1, t2):
+    return (F[o, v]
+            + jnp.einsum("ie,ae->ia", t1, F[v, v] - jnp.diag(jnp.diagonal(F))[v, v],
+                         optimize=True)
+            - jnp.einsum("ma,mi->ia", t1, F[o, o] - jnp.diag(jnp.diagonal(F))[o, o],
+                         optimize=True)
+            + jnp.einsum("imae,me->ia", t2, F[o, v], optimize=True)
+            - jnp.einsum("nf,naif->ia", t1, B["ovov"], optimize=True)
+            - 0.5 * jnp.einsum("imef,maef->ia", t2, B["ovvv"], optimize=True)
+            - 0.5 * jnp.einsum("mnae,nmei->ia", t2, B["oovo"], optimize=True))
+
+
+def _u_lccd(B, F, o, v, d1, d2, t1, t2, aux):
+    return t1, d2 * _u_linear_doubles(B, None, None, t1, t2, False)
+
+
+def _u_ccd(B, F, o, v, d1, d2, t1, t2, aux):
+    r = _u_linear_doubles(B, None, None, t1, t2, False)
+    r = r - 0.5 * permute(jnp.einsum("cdkl,ijac,klbd->ijab", B["oovv"].transpose(2, 3, 0, 1),
+                                     t2, t2, optimize=True), 2, 3)
+    r = r - 0.5 * permute(jnp.einsum("cdkl,ikab,jlcd->ijab", B["oovv"].transpose(2, 3, 0, 1),
+                                     t2, t2, optimize=True), 0, 1)
+    r = r + 0.25 * jnp.einsum("cdkl,ijcd,klab->ijab", B["oovv"].transpose(2, 3, 0, 1),
+                              t2, t2, optimize=True)
+    r = r + permute(jnp.einsum("cdkl,ikac,jlbd->ijab", B["oovv"].transpose(2, 3, 0, 1),
+                               t2, t2, optimize=True), 0, 1)
+    return t1, d2 * r
+
+
+def _u_lccsd(B, F, o, v, d1, d2, t1, t2, aux):
+    """Incremental update (the reference quirk, tuna_cc.py:1118-1119): the
+    fixed point satisfies residual = 0 either way."""
+    r1 = (F[o, v] + jnp.einsum("ac,ic->ia", F[v, v], t1, optimize=True)
+          + jnp.einsum("kc,ikac->ia", F[o, v], t2, optimize=True)
+          - jnp.einsum("ki,ka->ia", F[o, o], t1, optimize=True)
+          + jnp.einsum("kaci,kc->ia", B["ovvo"], t1, optimize=True)
+          + 0.5 * jnp.einsum("kacd,kicd->ia", B["ovvv"], t2, optimize=True)
+          - 0.5 * jnp.einsum("klci,klca->ia", B["oovo"], t2, optimize=True))
+    r2 = (_u_linear_doubles(B, F[o, o], F[v, v], t1, t2, False)
+          + permute(jnp.einsum("bc,ijac->ijab", F[v, v], t2, optimize=True), 2, 3)
+          - permute(jnp.einsum("kj,ikab->ijab", F[o, o], t2, optimize=True), 0, 1)
+          + _u_singles_driven(B, t1))
+    return t1 + d1 * r1, t2 + d2 * r2
+
+
+def _u_cid(B, F, o, v, d1, d2, t1, t2, aux):
+    off_vv = F[v, v] - jnp.diag(jnp.diagonal(F))[v, v]
+    r = _u_linear_doubles(B, jnp.zeros_like(F[o, o]), off_vv, t1, t2, False)
+    r = r + permute(jnp.einsum("ijae,be->ijab", t2, off_vv, optimize=True), 2, 3)
+    E_corr = 0.25 * jnp.einsum("ijab,ijab->", B["oovv"], t2, optimize=True)
+    return t1, d2 * (r - E_corr * t2)
+
+
+def _u_cisd(B, F, o, v, d1, d2, t1, t2, aux):
+    off_vv = F[v, v] - jnp.diag(jnp.diagonal(F))[v, v]
+    off_oo = F[o, o] - jnp.diag(jnp.diagonal(F))[o, o]
+    r1 = _u_linear_singles(B, F, o, v, t1, t2)
+    r2 = (_u_linear_doubles(B, off_oo, off_vv, t1, t2, True)
+          + _u_singles_driven(B, t1))
+    E_corr = 0.25 * jnp.einsum("ijab,ijab->", B["oovv"], t2, optimize=True)
+    return d1 * (r1 - E_corr * t1), d2 * (r2 - E_corr * t2)
+
+
+def _u_qcisd(B, F, o, v, d1, d2, t1, t2, aux):
+    off = jnp.diag(jnp.diagonal(F))
+    Pvv = (F[v, v] - off[v, v]
+           - 0.5 * jnp.einsum("mnaf,mnef->ae", t2, B["oovv"], optimize=True))
+    Poo = (F[o, o] - off[o, o]
+           + 0.5 * jnp.einsum("inef,mnef->mi", t2, B["oovv"], optimize=True))
+    Pov = F[o, v] + jnp.einsum("nf,mnef->me", t1, B["oovv"], optimize=True)
+
+    Hoooo = B["oooo"] + 0.25 * jnp.einsum("ijef,mnef->mnij", t2, B["oovv"],
+                                          optimize=True)
+    Hvvvv = B["vvvv"] + 0.25 * jnp.einsum("mnab,mnef->abef", t2, B["oovv"],
+                                          optimize=True)
+    Hovvo = B["ovvo"] - 0.5 * jnp.einsum("jnfb,mnef->mbej", t2, B["oovv"],
+                                         optimize=True)
+
+    r1 = (F[o, v] + jnp.einsum("ie,ae->ia", t1, Pvv, optimize=True)
+          - jnp.einsum("ma,mi->ia", t1, Poo, optimize=True)
+          + jnp.einsum("imae,me->ia", t2, Pov, optimize=True)
+          - jnp.einsum("nf,naif->ia", t1, B["ovov"], optimize=True)
+          - 0.5 * jnp.einsum("imef,maef->ia", t2, B["ovvv"], optimize=True)
+          - 0.5 * jnp.einsum("mnae,nmei->ia", t2, B["oovo"], optimize=True))
+
+    r2 = (B["oovv"]
+          + permute(jnp.einsum("ijae,be->ijab", t2, Pvv, optimize=True), 2, 3)
+          - permute(jnp.einsum("imab,mj->ijab", t2, Poo, optimize=True), 0, 1)
+          + 0.5 * jnp.einsum("mnab,mnij->ijab", t2, Hoooo, optimize=True)
+          + 0.5 * jnp.einsum("ijef,abef->ijab", t2, Hvvvv, optimize=True)
+          + permute(permute(jnp.einsum("imae,mbej->ijab", t2, Hovvo,
+                                       optimize=True), 2, 3), 0, 1)
+          + _u_singles_driven(B, t1))
+    return d1 * r1, d2 * r2
+
+
+def _u_ccsd(B, F, o, v, d1, d2, t1, t2, aux):
+    """Spin-orbital CCSD in the standard DPD intermediate form."""
+    off = jnp.diag(jnp.diagonal(F))
+    tau_h = _u_so_tau(t1, t2, 0.5)
+    tau = _u_so_tau(t1, t2, 1.0)
+
+    Pvv = (F[v, v] - off[v, v]
+           - 0.5 * jnp.einsum("me,ma->ae", F[o, v], t1, optimize=True)
+           + jnp.einsum("mf,mafe->ae", t1, B["ovvv"], optimize=True)
+           - 0.5 * jnp.einsum("mnaf,mnef->ae", tau_h, B["oovv"], optimize=True))
+    Poo = (F[o, o] - off[o, o]
+           + 0.5 * jnp.einsum("ie,me->mi", t1, F[o, v], optimize=True)
+           + jnp.einsum("ne,mnie->mi", t1, B["ooov"], optimize=True)
+           + 0.5 * jnp.einsum("inef,mnef->mi", tau_h, B["oovv"], optimize=True))
+    Pov = F[o, v] + jnp.einsum("nf,mnef->me", t1, B["oovv"], optimize=True)
+
+    Hoooo = (B["oooo"]
+             + permute(jnp.einsum("je,mnie->mnij", t1, B["ooov"], optimize=True), 2, 3)
+             + 0.25 * jnp.einsum("ijef,mnef->mnij", tau, B["oovv"], optimize=True))
+    Hvvvv = (B["vvvv"]
+             - permute(jnp.einsum("mb,amef->abef", t1, B["vovv"], optimize=True), 0, 1)
+             + 0.25 * jnp.einsum("mnab,mnef->abef", tau, B["oovv"], optimize=True))
+    Hovvo = (B["ovvo"]
+             + jnp.einsum("jf,mbef->mbej", t1, B["ovvv"], optimize=True)
+             - jnp.einsum("nb,mnej->mbej", t1, B["oovo"], optimize=True)
+             - jnp.einsum("jnfb,mnef->mbej",
+                          0.5 * t2 + jnp.einsum("jf,nb->jnfb", t1, t1, optimize=True),
+                          B["oovv"], optimize=True))
+
+    r1 = (F[o, v] + jnp.einsum("ie,ae->ia", t1, Pvv, optimize=True)
+          - jnp.einsum("ma,mi->ia", t1, Poo, optimize=True)
+          + jnp.einsum("imae,me->ia", t2, Pov, optimize=True)
+          - jnp.einsum("nf,naif->ia", t1, B["ovov"], optimize=True)
+          - 0.5 * jnp.einsum("imef,maef->ia", t2, B["ovvv"], optimize=True)
+          - 0.5 * jnp.einsum("mnae,nmei->ia", t2, B["oovo"], optimize=True))
+
+    r2 = (B["oovv"]
+          + permute(jnp.einsum(
+              "ijae,be->ijab", t2,
+              Pvv - 0.5 * jnp.einsum("mb,me->be", t1, Pov, optimize=True),
+              optimize=True), 2, 3)
+          - permute(jnp.einsum(
+              "imab,mj->ijab", t2,
+              Poo + 0.5 * jnp.einsum("je,me->mj", t1, Pov, optimize=True),
+              optimize=True), 0, 1)
+          + 0.5 * jnp.einsum("mnab,mnij->ijab", tau, Hoooo, optimize=True)
+          + 0.5 * jnp.einsum("ijef,abef->ijab", tau, Hvvvv, optimize=True)
+          + permute(permute(
+              jnp.einsum("imae,mbej->ijab", t2, Hovvo, optimize=True)
+              - jnp.einsum("ie,ma,mbej->ijab", t1, t1, B["ovvo"], optimize=True),
+              2, 3), 0, 1)
+          + _u_singles_driven(B, t1))
+    return d1 * r1, d2 * r2
+
+
+_RESTRICTED_UPDATES = {
+    "LCCD": _r_lccd, "CCD": _r_ccd, "LCCSD": _r_lccsd, "CID": _r_cid,
+    "CISD": _r_cisd, "QCISD": _r_qcisd, "CCSD": _r_ccsd, "CC2": _r_cc2,
+    "CC3": _r_cc3,
+}
+
+_UNRESTRICTED_UPDATES = {
+    "LCCD": _u_lccd, "CCD": _u_ccd, "LCCSD": _u_lccsd, "CID": _u_cid,
+    "CISD": _u_cisd, "QCISD": _u_qcisd, "CCSD": _u_ccsd,
+}
+
+
+# ---------------------------------------------------------------------------
+# The jitted while_loop solver
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CCSettings:
+    method: str            # base iterative method name ("CCSD", "CID", ...)
+    restricted: bool
+    update_singles: bool
+    keep_disconnected: bool
+    n_occ: int
+    n_virt: int
+    max_iter: int
+    use_diis: bool
+    max_diis: int
+    damping: float
+    o_start: int = 0       # global index of the first correlated orbital
+                           # (nonzero under FREEZECORE; used by CC2/CC3)
+
+
+def _push_ring(buf, entry, n_valid, max_n):
+    full = n_valid >= max_n
+    shifted = jnp.where(full, jnp.roll(buf, -1, axis=0), buf)
+    idx = jnp.where(full, max_n - 1, n_valid)
+    return shifted.at[idx].set(entry), jnp.minimum(n_valid + 1, max_n)
+
+
+def _diis_coefficients(err_buf, n_valid, M):
+    dtype = err_buf.dtype
+    valid = jnp.arange(M) < n_valid
+    errs = jnp.where(valid[:, None], err_buf, 0.0)
+    G = errs @ errs.T
+    vv = valid[:, None] & valid[None, :]
+    G = jnp.where(vv, G, 0.0) + jnp.where(
+        jnp.eye(M, dtype=bool) & ~valid[:, None], 1.0, 0.0)
+    A = jnp.zeros((M + 1, M + 1), dtype=dtype)
+    A = A.at[:M, :M].set(G)
+    A = A.at[:M, M].set(jnp.where(valid, -1.0, 0.0))
+    A = A.at[M, :M].set(jnp.where(valid, -1.0, 0.0))
+    rhs = jnp.zeros(M + 1, dtype=dtype).at[M].set(-1.0)
+    coeffs = jnp.linalg.solve(A, rhs)[:M]
+    coeffs = jnp.where(valid, coeffs, 0.0)
+    return jnp.all(jnp.isfinite(coeffs)), coeffs
+
+
+def _make_cc_solver(settings: CCSettings):
+    """Compile the full iteration (update + energy + DIIS + damping +
+    convergence) into one on-device while_loop."""
+    restricted = settings.restricted
+    method = settings.method
+    M = settings.max_diis
+    no, nv = settings.n_occ, settings.n_virt
+    update = (_RESTRICTED_UPDATES if restricted else _UNRESTRICTED_UPDATES)[method]
+
+    def solver(g, F, d1, d2, t1_0, t2_0, ERI_AO, C, H_core, d3,
+               energy_conv, amp_conv):
+        dtype = t2_0.dtype
+        o, v = slice(0, no), slice(no, None)
+        if restricted:
+            B = _restricted_blocks(g, o, v)
+            energy_fn = partial(_restricted_energy, B, F[o, v],
+                                keep_disconnected=settings.keep_disconnected)
+        else:
+            B = _unrestricted_blocks(g, o, v)
+            energy_fn = partial(_unrestricted_energy, B, F[o, v],
+                                keep_disconnected=settings.keep_disconnected)
+        # CC2/CC3 rebuild T1-dressed MO integrals from the AO tensor each
+        # iteration, indexed in the GLOBAL orbital space.
+        aux = {"ERI_AO": ERI_AO, "C": C, "H_core": H_core, "d3": d3,
+               "o": slice(settings.o_start, settings.o_start + no),
+               "v": slice(settings.o_start + no, None)}
+
+        def apply_update(t1, t2):
+            if restricted:
+                return update(B, F[o, v], d1, d2, t1, t2, aux)
+            return update(B, F, o, v, d1, d2, t1, t2, aux)
+
+        def body(carry):
+            (step, E, t1, t2, a1_buf, a2_buf, err_buf, n_valid, conv, failed,
+             stats) = carry
+
+            t1n, t2n = apply_update(t1, t2)
+            En = energy_fn(t1=t1n, t2=t2n)[0]
+            dE = En - E
+
+            r1 = (t1n - t1).ravel()
+            r2 = (t2n - t2).ravel()
+            amp_ok = jnp.linalg.norm(r2) < amp_conv
+            if settings.update_singles:
+                amp_ok = amp_ok & (jnp.linalg.norm(r1) < amp_conv)
+            is_conv = (jnp.abs(dE) < energy_conv) & amp_ok
+            is_failed = (~jnp.all(jnp.isfinite(t2n))) | (En > 1000.0)
+
+            a1_buf2, _ = _push_ring(a1_buf, t1n, n_valid, M)
+            a2_buf2, _ = _push_ring(a2_buf, t2n, n_valid, M)
+            err_buf2, n_valid2 = _push_ring(
+                err_buf, jnp.concatenate([r1, r2]), n_valid, M)
+
+            t1x, t2x = t1n, t2n
+            if settings.use_diis:
+                ok, coeffs = _diis_coefficients(err_buf2, n_valid2, M)
+                use = (step > 2) & ok & ~is_conv
+                t1x = jnp.where(use, jnp.einsum("m,m...->...", coeffs, a1_buf2), t1n)
+                t2x = jnp.where(use, jnp.einsum("m,m...->...", coeffs, a2_buf2), t2n)
+                n_valid2 = jnp.where((step > 2) & ~ok, 0, n_valid2)
+
+            if settings.damping != 0.0:
+                f = settings.damping
+                t1x = jnp.where(is_conv, t1x, f * t1 + (1.0 - f) * t1x)
+                t2x = jnp.where(is_conv, t2x, f * t2 + (1.0 - f) * t2x)
+
+            stats = stats.at[step - 1].set(jnp.stack([En, dE]))
+            return (step + 1, En, t1x, t2x, a1_buf2, a2_buf2, err_buf2,
+                    n_valid2, is_conv, is_failed, stats)
+
+        def cond(carry):
+            step, conv, failed = carry[0], carry[-3], carry[-2]
+            return (step <= settings.max_iter) & ~conv & ~failed
+
+        carry0 = (jnp.asarray(1), jnp.asarray(0.0, dtype=dtype), t1_0, t2_0,
+                  jnp.zeros((M,) + t1_0.shape, dtype=dtype),
+                  jnp.zeros((M,) + t2_0.shape, dtype=dtype),
+                  jnp.zeros((M, t1_0.size + t2_0.size), dtype=dtype),
+                  jnp.asarray(0), jnp.asarray(False), jnp.asarray(False),
+                  jnp.zeros((settings.max_iter, 2), dtype=dtype))
+
+        final = jax.lax.while_loop(cond, body, carry0)
+        step, E, t1, t2 = final[0], final[1], final[2], final[3]
+        conv, failed, stats = final[-3], final[-2], final[-1]
+        E_total, E_s, E_c, E_d = energy_fn(t1=t1, t2=t2)
+        return (step - 1, conv, failed, E, t1, t2, stats,
+                jnp.stack([E_s, E_c, E_d]))
+
+    return jax.jit(solver)
+
+
+_SOLVER_CACHE: dict = {}
+
+
+def get_cc_solver(settings: CCSettings):
+    if settings not in _SOLVER_CACHE:
+        _SOLVER_CACHE[settings] = _make_cc_solver(settings)
+    return _SOLVER_CACHE[settings]
+
+
+# ---------------------------------------------------------------------------
+# Host-level iteration driver
+# ---------------------------------------------------------------------------
+
+_NO_SINGLES = ("LCCD", "CCD", "CID")
+
+
+def _initial_print(g, o, v, t_ijab, reference, method, calculation, silent):
+    log_spacer(calculation, silent=silent, start="\n")
+    log(f"              {method.name:>5} Energy and Density ", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    log(f"  Energy convergence tolerance:        {calculation.energy_convergence:.10f}", calculation, 1, silent=silent)
+    log(f"  Amplitude convergence tolerance:     {calculation.amp_conv:.10f}", calculation, 1, silent=silent)
+
+    if reference == "RHF":
+        E_MP2 = float(jnp.einsum("ijab,ijab->", t_ijab,
+                                 2 * g[o, o, v, v] - g[o, o, v, v].transpose(0, 1, 3, 2),
+                                 optimize=True))
+    else:
+        E_MP2 = 0.25 * float(jnp.einsum("ijab,ijab->", t_ijab, g[o, o, v, v],
+                                        optimize=True))
+
+    log(f"\n  Guess t-amplitude MP2 energy:       {E_MP2:.10f}\n", calculation, 1, silent=silent)
+    if calculation.correlated_damping_parameter != 0:
+        log(f"  Using damping parameter of {calculation.correlated_damping_parameter:.2f} for convergence.", calculation, 1, silent=silent)
+    if calculation.DIIS:
+        log(f"  Using DIIS, storing {calculation.max_DIIS_matrices} matrices, for convergence.", calculation, 1, silent=silent)
+    log(f"\n  Starting {method.name} iterations...\n", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    log("  Step          Correlation E               DE", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+
+
+def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
+                                     method, calculation, silent, SCF_output,
+                                     integrals):
+    """Solve the amplitude equations for one iterative method on device."""
+    original_name = method.name
+    base_name = method.name
+    for tag in ("[T]", "[Q]"):
+        base_name = base_name.split(tag)[0]
+
+    if base_name in ("CCSDT", "CISDT", "CCSDTQ"):
+        from .cc_triples import solve_triples_method
+        return solve_triples_method(g, o, v, t_amplitudes, e_denominators, F,
+                                    method, base_name, calculation, silent)
+
+    t_ia, t_ijab, _, _ = t_amplitudes
+    d1, d2 = e_denominators[0], e_denominators[1]
+    restricted = calculation.reference == "RHF"
+
+    if base_name not in (_RESTRICTED_UPDATES if restricted else _UNRESTRICTED_UPDATES):
+        error(f"The {base_name} method is not yet available in TUNA-TPU!")
+
+    _initial_print(g, o, v, t_ijab, calculation.reference, method, calculation, silent)
+
+    dummy = jnp.zeros((1, 1))
+    ERI_AO = C = H_core = dummy
+    d3 = jnp.zeros((1,))
+    if base_name in ("CC2", "CC3"):
+        ERI_AO = jnp.asarray(integrals.ERI_AO)
+        C = jnp.asarray(SCF_output.molecular_orbitals)
+        H_core = jnp.asarray(integrals.H_core)
+        if base_name == "CC3":
+            d3 = e_denominators[2]
+
+    settings = CCSettings(
+        method=base_name,
+        restricted=restricted,
+        update_singles=base_name not in _NO_SINGLES,
+        keep_disconnected=base_name not in _NO_DISCONNECTED,
+        n_occ=o.stop - (o.start or 0),
+        n_virt=int(t_ijab.shape[-1]),
+        max_iter=int(calculation.correlated_max_iter),
+        use_diis=bool(calculation.DIIS),
+        max_diis=int(calculation.max_DIIS_matrices),
+        damping=float(calculation.correlated_damping_parameter),
+        o_start=int(o.start or 0),
+    )
+
+    # Frozen-core slices start at o.start; shift to local indexing for the
+    # solver, which slices g itself.
+    if (o.start or 0) != 0:
+        g = g[o.start:, o.start:, o.start:, o.start:]
+        F = F[o.start:, o.start:]
+
+    solver = get_cc_solver(settings)
+    (n_steps, converged, failed, E_CC, t1, t2, stats, parts) = solver(
+        g, F, d1, d2, t_ia, t_ijab, ERI_AO, C, H_core, d3,
+        calculation.energy_convergence, calculation.amp_conv)
+
+    n_steps = int(n_steps)
+    stats = np.asarray(stats)
+    for i in range(n_steps):
+        log(f"  {i + 1:3.0f}           {stats[i, 0]:13.10f}         {stats[i, 1]:13.10f}",
+            calculation, 1, silent=silent)
+
+    if bool(failed):
+        error(f'Non-finite encountered in {base_name} iteration. Try stronger '
+              'damping with the "CORRDAMP" keyword?.')
+    if not bool(converged):
+        error(f"The {base_name} iterations failed to converge! Try increasing "
+              "the maximum iterations with CORRMAXITER?")
+
+    E_CC = float(E_CC)
+    E_singles, E_connected, E_disconnected = [float(x) for x in np.asarray(parts)]
+
+    log_spacer(calculation, silent=silent)
+    log(f"\n  Singles contribution:               {E_singles:13.10f}", calculation, 1, silent=silent)
+    log(f"  Connected doubles contribution:     {E_connected:13.10f}", calculation, 1, silent=silent)
+    log(f"  Disconnected doubles contribution:  {E_disconnected:13.10f}", calculation, 1, silent=silent)
+    log(f"\n  {base_name} correlation energy:  {' ' * (10 - len(base_name))}    {E_CC:.10f}",
+        calculation, 1, silent=silent)
+    method.name = original_name
+
+    t3 = t_amplitudes[2]
+    t4 = t_amplitudes[3]
+    return E_CC, (t1, t2, t3, t4)
+
+
+# ---------------------------------------------------------------------------
+# Perturbative triples and quadruples (one-shot jitted contractions)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _restricted_T_tensors(g_oovv, g_ovvv, g_oovo, t1, t2, d3):
+    """Spin-adapted (T): disconnected V, connected W and its weighted form."""
+    V = (jnp.einsum("jkbc,ia->ijkabc", g_oovv, t1, optimize=True)
+         + jnp.einsum("ikac,jb->ijkabc", g_oovv, t1, optimize=True)
+         + jnp.einsum("ijab,kc->ijkabc", g_oovv, t1, optimize=True))
+
+    raw = (jnp.einsum("ibaf,kjcf->ijkabc", g_ovvv, t2, optimize=True)
+           - jnp.einsum("ijam,mkbc->ijkabc", g_oovo, t2, optimize=True))
+    W = (raw + raw.transpose(1, 0, 2, 4, 3, 5) + raw.transpose(2, 1, 0, 5, 4, 3)
+         + raw.transpose(0, 2, 1, 3, 5, 4) + raw.transpose(2, 0, 1, 5, 3, 4)
+         + raw.transpose(1, 2, 0, 4, 5, 3))
+    W_weighted = (4.0 * W + W.transpose(2, 0, 1, 3, 4, 5) + W.transpose(1, 2, 0, 3, 4, 5)
+                  - 4.0 * W.transpose(2, 1, 0, 3, 4, 5) - W.transpose(0, 2, 1, 3, 4, 5)
+                  - W.transpose(1, 0, 2, 3, 4, 5))
+    return V, W, W_weighted
+
 
 def restricted_CCSD_T(g, e_ijkabc, t_ia, t_ijab, o, v, method, calculation, silent):
-    """(T) via the spin-adapted Lee formulation (tuna_cc.py:2688-2758)."""
+    """(T) via the spin-adapted Lee formulation (ref: tuna_cc.py:2688-2758)."""
     method.name = method.name.replace("[", "(").replace("]", ")")
     log_spacer(calculation, silent=silent, start="\n")
     log(f"                    {method.name} Energy ", calculation, 1, silent=silent)
     log_spacer(calculation, silent=silent)
 
-    def P_ijkabc(array):
-        return (array + array.transpose(1, 0, 2, 4, 3, 5) + array.transpose(2, 1, 0, 5, 4, 3)
-                + array.transpose(0, 2, 1, 3, 5, 4) + array.transpose(2, 0, 1, 5, 3, 4)
-                + array.transpose(1, 2, 0, 4, 5, 3))
-
+    space = "" if "QCISD" in method.name else " "
     log("  Forming disconnected amplitudes...         ", calculation, 1, end="", silent=silent)
-    V_ijkabc = jnp.einsum("jkbc,ia->ijkabc", g[o, o, v, v], t_ia, optimize=True)
-    V_ijkabc += jnp.einsum("ikac,jb->ijkabc", g[o, o, v, v], t_ia, optimize=True)
-    V_ijkabc += jnp.einsum("ijab,kc->ijkabc", g[o, o, v, v], t_ia, optimize=True)
-    space = " "
+    V, W, W_weighted = _restricted_T_tensors(g[o, o, v, v], g[o, v, v, v],
+                                             g[o, o, v, o], t_ia, t_ijab, e_ijkabc)
     if "QCISD" in method.name:
-        V_ijkabc = V_ijkabc * 2
-        space = ""
+        V = V * 2.0
     log("[Done]", calculation, 1, silent=silent)
-
-    log("  Forming connected amplitudes...            ", calculation, 1, end="", silent=silent)
-    W_ijkabc = P_ijkabc(jnp.einsum("ibaf,kjcf->ijkabc", g[o, v, v, v], t_ijab, optimize=True)
-                        - jnp.einsum("ijam,mkbc->ijkabc", g[o, o, v, o], t_ijab, optimize=True))
-    W = (4 * W_ijkabc + W_ijkabc.transpose(2, 0, 1, 3, 4, 5) + W_ijkabc.transpose(1, 2, 0, 3, 4, 5)
-         - 4 * W_ijkabc.transpose(2, 1, 0, 3, 4, 5) - W_ijkabc.transpose(0, 2, 1, 3, 4, 5)
-         - W_ijkabc.transpose(1, 0, 2, 3, 4, 5))
-    log("[Done]", calculation, 1, silent=silent)
+    log("  Forming connected amplitudes...            ", calculation, 1, silent=silent)
 
     log(f"\n  Calculating {method.name} correlation energy... {space}", calculation, 1, end="", silent=silent)
-    E_T = (1 / 3) * float(jnp.einsum("ijkabc,ijkabc,ijkabc->", W_ijkabc + V_ijkabc, W, e_ijkabc, optimize=True))
-    log(f"[Done]\n\n  {method.name} correlation energy:       {space} {E_T:13.10f}", calculation, 1, silent=silent)
+    E_T = (1.0 / 3.0) * float(jnp.einsum("ijkabc,ijkabc,ijkabc->", W + V,
+                                         W_weighted, e_ijkabc, optimize=True))
+    log(f"[Done]\n\n  {method.name} correlation energy:       {space} {E_T:13.10f}",
+        calculation, 1, silent=silent)
     return E_T
 
 
+@jax.jit
+def _unrestricted_T_tensors(g_oovv, g_vovv, g_ovoo, t1, t2, d3):
+    def antisym3(x):
+        x = x - x.swapaxes(3, 4) - x.swapaxes(3, 5)
+        return x - x.swapaxes(0, 1) - x.swapaxes(0, 2)
+
+    disc = jnp.einsum("ia,jkbc->ijkabc", t1, g_oovv, optimize=True)
+    t_d = d3 * antisym3(disc)
+    conn = (jnp.einsum("jkae,eibc->ijkabc", t2, g_vovv, optimize=True)
+            - jnp.einsum("imbc,majk->ijkabc", t2, g_ovoo, optimize=True))
+    t_c = d3 * antisym3(conn)
+    E = (1.0 / 36.0) * jnp.einsum("ijkabc,ijkabc->", t_c / d3, t_c + t_d,
+                                  optimize=True)
+    return E, t_c, t_d
+
+
 def unrestricted_CCSD_T(g, e_ijkabc, t_ia, t_ijab, o, v, method, calculation, silent):
-    """(T) via the spin-orbital Crawford formulation (tuna_cc.py:2769-2837)."""
+    """(T) via the spin-orbital formulation (ref: tuna_cc.py:2769-2837)."""
     method.name = method.name.replace("[", "(").replace("]", ")")
     log_spacer(calculation, silent=silent, start="\n")
     log(f"                   {method.name} Energy  ", calculation, 1, silent=silent)
     log_spacer(calculation, silent=silent)
 
-    def permute_three(array, idx1, idx2, idx3):
-        return array - array.swapaxes(idx1, idx2) - array.swapaxes(idx1, idx3)
-
-    log("  Forming disconnected amplitudes...         ", calculation, 1, end="", silent=silent)
-    d_ijkabc = jnp.einsum("ia,jkbc->ijkabc", t_ia, g[o, o, v, v], optimize=True)
-    t_d = e_ijkabc * permute_three(permute_three(d_ijkabc, 3, 4, 5), 0, 1, 2)
-    space = " "
+    space = "" if "QCISD" in method.name else " "
+    log("  Forming disconnected amplitudes...         ", calculation, 1, silent=silent)
+    log("  Forming connected amplitudes...            ", calculation, 1, silent=silent)
+    E_T, t_c, t_d = _unrestricted_T_tensors(g[o, o, v, v], g[v, o, v, v],
+                                            g[o, v, o, o], t_ia, t_ijab, e_ijkabc)
     if "QCISD" in method.name:
-        t_d = t_d * 2
-        space = ""
-    log("[Done]", calculation, 1, silent=silent)
-
-    log("  Forming connected amplitudes...            ", calculation, 1, end="", silent=silent)
-    conn = (jnp.einsum("jkae,eibc->ijkabc", t_ijab, g[v, o, v, v], optimize=True)
-            - jnp.einsum("imbc,majk->ijkabc", t_ijab, g[o, v, o, o], optimize=True))
-    t_c = e_ijkabc * permute_three(permute_three(conn, 3, 4, 5), 0, 1, 2)
-    log("[Done]", calculation, 1, silent=silent)
-
-    log(f"\n  Calculating {method.name} correlation energy... {space}", calculation, 1, end="", silent=silent)
-    E_T = (1 / 36) * float(jnp.einsum("ijkabc,ijkabc->", t_c / e_ijkabc, t_c + t_d, optimize=True))
-    log(f"[Done]\n\n  {method.name} correlation energy:       {space} {E_T:13.10f}", calculation, 1, silent=silent)
+        E_T = (1.0 / 36.0) * jnp.einsum("ijkabc,ijkabc->", t_c / e_ijkabc,
+                                        t_c + 2.0 * t_d, optimize=True)
+    E_T = float(E_T)
+    log(f"\n  Calculating {method.name} correlation energy... {space}[Done]",
+        calculation, 1, silent=silent)
+    log(f"\n  {method.name} correlation energy:       {space} {E_T:13.10f}",
+        calculation, 1, silent=silent)
     return E_T
+
+
+def restricted_CCSDT_Q(g, e_ijklabcd, t_ijab, t_ijkabc, o, v, calculation, silent):
+    """Perturbative quadruples, MP5+MP6 form (ref: tuna_cc.py:2848-2939)."""
+    log_spacer(calculation, silent=silent, start="\n")
+    log("                   CCSDT(Q) Energy ", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    log("  Forming quadruples amplitudes...           ", calculation, 1, end="", silent=silent)
+
+    g = g.swapaxes(1, 2)  # <pq|rs> -> (pq|rs)
+    u_ijab = _u_of(t_ijab)
+    K_ijab = g[o, v, o, v].transpose(0, 2, 1, 3)
+    L_ijab = 2 * K_ijab - K_ijab.swapaxes(2, 3)
+
+    def permute_four_columns(array):
+        array = (array + array.swapaxes(0, 3).swapaxes(4, 7)
+                 + array.swapaxes(1, 3).swapaxes(5, 7) + array.swapaxes(2, 3).swapaxes(6, 7))
+        array = array + array.swapaxes(0, 2).swapaxes(4, 6) + array.swapaxes(1, 2).swapaxes(5, 6)
+        return array + array.swapaxes(0, 1).swapaxes(4, 5)
+
+    G = jnp.einsum("iabe,jklecd->ijklabcd", g[o, v, v, v], t_ijkabc, optimize=True)
+    G += -jnp.einsum("iamj,mklbcd->ijklabcd", g[o, v, o, o], t_ijkabc, optimize=True)
+    G += jnp.einsum("minj,mkac,nlbd->ijklabcd", g[o, o, o, o], t_ijab, t_ijab, optimize=True)
+    G += -2 * jnp.einsum("iame,kjeb,mlcd->ijklabcd", g[o, v, o, v], t_ijab, t_ijab, optimize=True)
+    G += jnp.einsum("cfae,ijeb,klfd->ijklabcd", g[v, v, v, v], t_ijab, t_ijab, optimize=True)
+    G += -2 * jnp.einsum("bemi,kjce,mlad->ijklabcd", g[v, v, o, o], t_ijab, t_ijab, optimize=True)
+    G = 0.5 * permute_four_columns(G)
+    t_ijklabcd = G * e_ijklabcd
+    log("[Done]", calculation, 1, silent=silent)
+
+    log("\n  Calculating MP5 contribution to energy...  ", calculation, 1, end="", silent=silent)
+    E_MP5 = float(jnp.einsum("ijklcdab,klcd,ijab->", t_ijklabcd, u_ijab, K_ijab, optimize=True))
+    E_MP5 += -2 * float(jnp.einsum("ijklbdac,kldc,ijba->", t_ijklabcd, u_ijab, L_ijab, optimize=True))
+    E_MP5 += float(jnp.einsum("ijklabcd,klcd,ijab->", t_ijklabcd, u_ijab, L_ijab, optimize=True))
+    log("[Done]", calculation, 1, silent=silent)
+
+    log("  Calculating MP6 contribution to energy...  ", calculation, 1, end="", silent=silent)
+    t_bar = -2 * t_ijklabcd - t_ijklabcd.swapaxes(4, 6).swapaxes(5, 7) + t_ijklabcd.swapaxes(4, 5)
+    t_tilde = (2 * t_ijklabcd.transpose(0, 1, 2, 3, 7, 5, 4, 6)
+               - t_ijklabcd.transpose(0, 1, 2, 3, 5, 7, 4, 6))
+    t_tilde = t_tilde + t_tilde.swapaxes(2, 3).swapaxes(6, 7)
+
+    term = jnp.einsum("mjicba,ldkm->ijklabcd", t_ijkabc, g[o, v, o, o], optimize=True)
+    term2 = jnp.einsum("kjieba,ldce->ijklabcd", t_ijkabc, g[o, v, v, v], optimize=True)
+    alpha = 2 * term - term.swapaxes(6, 7) - 2 * term2 + term2.swapaxes(2, 3)
+    term = jnp.einsum("mjicba,kdlm->ijklabcd", t_ijkabc, g[o, v, o, o], optimize=True)
+    term2 = jnp.einsum("ljieba,kdce->ijklabcd", t_ijkabc, g[o, v, v, v], optimize=True)
+    beta = 2 * term - term.swapaxes(6, 7) - 2 * term2 + term2.swapaxes(2, 3)
+
+    E_MP6 = 2 * float(jnp.einsum("ijklabcd,ijklabcd->", alpha, t_bar, optimize=True))
+    E_MP6 += 2 * float(jnp.einsum("ijklabcd,ijklabcd->", beta, t_tilde, optimize=True))
+    E_Q = E_MP5 + E_MP6
+    log("[Done]", calculation, 1, silent=silent)
+
+    log(f"\n  Contribution from MP5:              {E_MP5:13.10f}", calculation, 2, silent=silent)
+    log(f"  Contribution from MP6:              {E_MP6:13.10f}", calculation, 2, silent=silent)
+    log(f"\n  CCSDT(Q) correlation energy:        {E_Q:13.10f}", calculation, 1, silent=silent)
+    return E_Q
 
 
 # ---------------------------------------------------------------------------
@@ -649,7 +992,7 @@ def linearised_density(t_ia, t_ijab, n_orbitals, n_occ, o, v, calculation,
     P_CC = jnp.zeros((n_orbitals, n_orbitals))
 
     if calculation.reference == "RHF":
-        u_ijab = 2 * t_ijab - t_ijab.swapaxes(2, 3)
+        u_ijab = _u_of(t_ijab)
         P_CC = P_CC.at[v, v].add(jnp.einsum("ijbc,ijac->ab", t_ijab, u_ijab, optimize=True))
         P_CC = P_CC.at[o, o].add(-jnp.einsum("ikab,jkab->ij", t_ijab, u_ijab, optimize=True))
         P_CC = P_CC.at[o, v].add(t_ia + jnp.einsum("ijab,jb->ia", u_ijab, t_ia, optimize=True))
@@ -666,7 +1009,8 @@ def linearised_density(t_ia, t_ijab, n_orbitals, n_occ, o, v, calculation,
     P = P_ref + P_CC
 
     if calculation.reference == "UHF":
-        P, P_alpha, P_beta = transforms.density_so_to_ao(P, jnp.asarray(molecular_orbitals), n_orbitals)
+        P, P_alpha, P_beta = transforms.density_so_to_ao(
+            P, jnp.asarray(molecular_orbitals), n_orbitals)
     else:
         P = 2 * P
         C = jnp.asarray(molecular_orbitals)
@@ -758,137 +1102,8 @@ def print_largest_amplitudes(t_ia, t_ijab, n_occ, calculation, spin_orbital_labe
 
 
 # ---------------------------------------------------------------------------
-# Iteration driver
+# Top-level driver
 # ---------------------------------------------------------------------------
-
-_RESTRICTED_KERNELS = {
-    "LCCD": restricted_LCCD, "CCD": restricted_CCD, "LCCSD": restricted_LCCSD,
-    "CID": restricted_CID, "CISD": restricted_CISD, "QCISD": restricted_QCISD,
-    "CCSD": restricted_CCSD,
-}
-
-_UNRESTRICTED_KERNELS = {
-    "LCCD": unrestricted_LCCD, "CCD": unrestricted_CCD, "LCCSD": unrestricted_LCCSD,
-    "CID": unrestricted_CID, "CISD": unrestricted_CISD, "QCISD": unrestricted_QCISD,
-    "CCSD": unrestricted_CCSD,
-}
-
-
-def _initial_print(g, o, v, t_amplitudes, reference, method, calculation, silent):
-    log_spacer(calculation, silent=silent, start="\n")
-    log(f"              {method.name:>5} Energy and Density ", calculation, 1, silent=silent)
-    log_spacer(calculation, silent=silent)
-    log(f"  Energy convergence tolerance:        {calculation.energy_convergence:.10f}", calculation, 1, silent=silent)
-    log(f"  Amplitude convergence tolerance:     {calculation.amp_conv:.10f}", calculation, 1, silent=silent)
-
-    t_ijab = t_amplitudes[1]
-    if reference == "RHF":
-        E_MP2 = float(jnp.einsum("ijab,ijab->", t_ijab,
-                                 2 * g[o, o, v, v] - g[o, o, v, v].transpose(0, 1, 3, 2), optimize=True))
-    else:
-        E_MP2 = 0.25 * float(jnp.einsum("ijab,ijab->", t_ijab, g[o, o, v, v], optimize=True))
-
-    log(f"\n  Guess t-amplitude MP2 energy:       {E_MP2:.10f}\n", calculation, 1, silent=silent)
-    if calculation.correlated_damping_parameter != 0:
-        log(f"  Using damping parameter of {calculation.correlated_damping_parameter:.2f} for convergence.", calculation, 1, silent=silent)
-    if calculation.DIIS:
-        log(f"  Using DIIS, storing {calculation.max_DIIS_matrices} matrices, for convergence.", calculation, 1, silent=silent)
-    log(f"\n  Starting {method.name} iterations...\n", calculation, 1, silent=silent)
-    log_spacer(calculation, silent=silent)
-    log("  Step          Correlation E               DE", calculation, 1, silent=silent)
-    log_spacer(calculation, silent=silent)
-
-
-def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
-                                     method, calculation, silent, SCF_output,
-                                     integrals):
-    E_CC = 0.0
-    iterate_singles = "CCD" not in method.name and "CID" not in method.name
-    iterate_triples = "CCSDT" in method.name or "CISDT" in method.name
-    iterate_quadruples = "CCSDTQ" in method.name
-
-    original_name = method.name
-    method.name = method.name.split("[T]")[0] if "[T]" in method.name else method.name
-    method.name = method.name.split("[Q]")[0] if "[Q]" in method.name else method.name
-
-    t_history: list = []
-    error_history: list = []
-    t_ia, t_ijab, t_ijkabc, t_ijklabcd = t_amplitudes
-
-    _initial_print(g, o, v, t_amplitudes, calculation.reference, method, calculation, silent)
-
-    restricted = calculation.reference == "RHF"
-    w = 2 * g - g.swapaxes(0, 1) if restricted else None
-
-    E_singles = E_connected = E_disconnected = 0.0
-
-    for step in range(1, calculation.correlated_max_iter + 1):
-        E_old = E_CC
-        t_ia_old = t_ia if iterate_singles else jnp.zeros_like(e_denominators[0])
-        t_ijab_old = t_ijab
-        t_ijkabc_old = t_ijkabc if iterate_triples else None
-        t_ijklabcd_old = t_ijklabcd if iterate_quadruples else None
-
-        t_amplitudes = (t_ia, t_ijab, t_ijkabc, t_ijklabcd)
-        t_amplitudes_old = (t_ia_old, t_ijab_old, t_ijkabc_old, t_ijklabcd_old)
-
-        if restricted:
-            name = method.name
-            if name in _RESTRICTED_KERNELS:
-                t_amplitudes = _RESTRICTED_KERNELS[name](g, o, v, t_amplitudes,
-                                                         e_denominators, w, F)
-            elif name == "CC2":
-                t_amplitudes = restricted_CC2(o, v, t_amplitudes, e_denominators,
-                                              SCF_output.molecular_orbitals, integrals)
-            elif name == "CC3":
-                t_amplitudes = restricted_CC3(o, v, t_amplitudes, e_denominators,
-                                              SCF_output.molecular_orbitals, integrals)
-            else:
-                error(f"The {name} method is not yet available in TUNA-TPU!")
-            E_CC, E_singles, E_connected, E_disconnected = restricted_cc_energy(
-                o, v, w, t_amplitudes, method, F)
-        else:
-            name = method.name
-            if name in _UNRESTRICTED_KERNELS:
-                t_amplitudes = _UNRESTRICTED_KERNELS[name](g, o, v, t_amplitudes,
-                                                           e_denominators, F)
-            else:
-                error(f"The {name} method is not yet available in TUNA-TPU!")
-            E_CC, E_singles, E_connected, E_disconnected = unrestricted_cc_energy(
-                o, v, g, t_amplitudes, method, F)
-
-        t_ia, t_ijab, t_ijkabc, t_ijklabcd = t_amplitudes
-
-        if E_CC > 1000 or any(not bool(jnp.all(jnp.isfinite(a)))
-                              for a in t_amplitudes if a is not None):
-            error(f'Non-finite encountered in {method.name} iteration. Try stronger '
-                  'damping with the "CORRDAMP" keyword?.')
-
-        delta_E = E_CC - E_old
-        log(f"  {step:3.0f}           {E_CC:13.10f}         {delta_E:13.10f}",
-            calculation, 1, silent=silent)
-
-        if is_converged(delta_E, t_amplitudes, t_amplitudes_old, calculation):
-            break
-        if step >= calculation.correlated_max_iter:
-            error(f"The {method.name} iterations failed to converge! Try increasing "
-                  "the maximum iterations with CORRMAXITER?")
-
-        t_amplitudes = apply_DIIS(t_amplitudes, t_amplitudes_old, t_history,
-                                  error_history, step, calculation, silent)
-        t_amplitudes = apply_damping(calculation.correlated_damping_parameter,
-                                     t_amplitudes, t_amplitudes_old)
-        t_ia, t_ijab, t_ijkabc, t_ijklabcd = t_amplitudes
-
-    log_spacer(calculation, silent=silent)
-    log(f"\n  Singles contribution:               {E_singles:13.10f}", calculation, 1, silent=silent)
-    log(f"  Connected doubles contribution:     {E_connected:13.10f}", calculation, 1, silent=silent)
-    log(f"  Disconnected doubles contribution:  {E_disconnected:13.10f}", calculation, 1, silent=silent)
-    log(f"\n  {method.name} correlation energy:  {' ' * (10 - len(method.name))}    {E_CC:.10f}",
-        calculation, 1, silent=silent)
-    method.name = original_name
-    return E_CC, t_amplitudes
-
 
 def begin_coupled_cluster_calculation(method, molecule, SCF_output, integrals, X,
                                       calculation, silent):
@@ -923,14 +1138,14 @@ def begin_coupled_cluster_calculation(method, molecule, SCF_output, integrals, X
     e_ia = transforms.singles_epsilons(epsilons, o, v)
     e_ijab = transforms.doubles_epsilons(epsilons, epsilons, o, o, v, v)
     e_ijkabc = (transforms.triples_epsilons(epsilons, o, v)
-                if calculate_triples else jnp.zeros_like(e_ijab))
+                if calculate_triples else None)
     e_ijklabcd = (transforms.quadruples_epsilons(epsilons, o, v)
-                  if calculate_quadruples else jnp.zeros_like(e_ijab))
+                  if calculate_quadruples else None)
 
     t_ia = e_ia * F[o, v]
     t_ijab = g[o, o, v, v] * e_ijab
-    t_ijkabc = jnp.zeros_like(e_ijkabc)
-    t_ijklabcd = jnp.zeros_like(e_ijklabcd)
+    t_ijkabc = jnp.zeros_like(e_ijkabc) if e_ijkabc is not None else None
+    t_ijklabcd = jnp.zeros_like(e_ijklabcd) if e_ijklabcd is not None else None
 
     t_amplitudes = (t_ia, t_ijab, t_ijkabc, t_ijklabcd)
     e_denominators = (e_ia, e_ijab, e_ijkabc, e_ijklabcd)
@@ -970,61 +1185,3 @@ def begin_coupled_cluster_calculation(method, molecule, SCF_output, integrals, X
     log_spacer(calculation, silent=silent)
     timer("Coupled cluster", 1)
     return E_CC, E_perturbative, density_matrices, occupancies, natural_orbitals
-
-
-def restricted_CCSDT_Q(g, e_ijklabcd, t_ijab, t_ijkabc, o, v, calculation, silent):
-    """Perturbative quadruples, MP5+MP6 form (tuna_cc.py:2848-2939)."""
-    log_spacer(calculation, silent=silent, start="\n")
-    log("                   CCSDT(Q) Energy ", calculation, 1, silent=silent)
-    log_spacer(calculation, silent=silent)
-    log("  Forming quadruples amplitudes...           ", calculation, 1, end="", silent=silent)
-
-    g = g.swapaxes(1, 2)  # <pq|rs> -> (pq|rs)
-    u_ijab = 2 * t_ijab - t_ijab.swapaxes(2, 3)
-    K_ijab = g[o, v, o, v].transpose(0, 2, 1, 3)
-    L_ijab = 2 * K_ijab - K_ijab.swapaxes(2, 3)
-
-    def permute_four_columns(array):
-        array = (array + array.swapaxes(0, 3).swapaxes(4, 7)
-                 + array.swapaxes(1, 3).swapaxes(5, 7) + array.swapaxes(2, 3).swapaxes(6, 7))
-        array = array + array.swapaxes(0, 2).swapaxes(4, 6) + array.swapaxes(1, 2).swapaxes(5, 6)
-        return array + array.swapaxes(0, 1).swapaxes(4, 5)
-
-    G = jnp.einsum("iabe,jklecd->ijklabcd", g[o, v, v, v], t_ijkabc, optimize=True)
-    G += -jnp.einsum("iamj,mklbcd->ijklabcd", g[o, v, o, o], t_ijkabc, optimize=True)
-    G += jnp.einsum("minj,mkac,nlbd->ijklabcd", g[o, o, o, o], t_ijab, t_ijab, optimize=True)
-    G += -2 * jnp.einsum("iame,kjeb,mlcd->ijklabcd", g[o, v, o, v], t_ijab, t_ijab, optimize=True)
-    G += jnp.einsum("cfae,ijeb,klfd->ijklabcd", g[v, v, v, v], t_ijab, t_ijab, optimize=True)
-    G += -2 * jnp.einsum("bemi,kjce,mlad->ijklabcd", g[v, v, o, o], t_ijab, t_ijab, optimize=True)
-    G = 0.5 * permute_four_columns(G)
-    t_ijklabcd = G * e_ijklabcd
-    log("[Done]", calculation, 1, silent=silent)
-
-    log("\n  Calculating MP5 contribution to energy...  ", calculation, 1, end="", silent=silent)
-    E_MP5 = float(jnp.einsum("ijklcdab,klcd,ijab->", t_ijklabcd, u_ijab, K_ijab, optimize=True))
-    E_MP5 += -2 * float(jnp.einsum("ijklbdac,kldc,ijba->", t_ijklabcd, u_ijab, L_ijab, optimize=True))
-    E_MP5 += float(jnp.einsum("ijklabcd,klcd,ijab->", t_ijklabcd, u_ijab, L_ijab, optimize=True))
-    log("[Done]", calculation, 1, silent=silent)
-
-    log("  Calculating MP6 contribution to energy...  ", calculation, 1, end="", silent=silent)
-    t_bar = -2 * t_ijklabcd - t_ijklabcd.swapaxes(4, 6).swapaxes(5, 7) + t_ijklabcd.swapaxes(4, 5)
-    t_tilde = (2 * t_ijklabcd.transpose(0, 1, 2, 3, 7, 5, 4, 6)
-               - t_ijklabcd.transpose(0, 1, 2, 3, 5, 7, 4, 6))
-    t_tilde = t_tilde + t_tilde.swapaxes(2, 3).swapaxes(6, 7)
-
-    term = jnp.einsum("mjicba,ldkm->ijklabcd", t_ijkabc, g[o, v, o, o], optimize=True)
-    term2 = jnp.einsum("kjieba,ldce->ijklabcd", t_ijkabc, g[o, v, v, v], optimize=True)
-    alpha = 2 * term - term.swapaxes(6, 7) - 2 * term2 + term2.swapaxes(2, 3)
-    term = jnp.einsum("mjicba,kdlm->ijklabcd", t_ijkabc, g[o, v, o, o], optimize=True)
-    term2 = jnp.einsum("ljieba,kdce->ijklabcd", t_ijkabc, g[o, v, v, v], optimize=True)
-    beta = 2 * term - term.swapaxes(6, 7) - 2 * term2 + term2.swapaxes(2, 3)
-
-    E_MP6 = 2 * float(jnp.einsum("ijklabcd,ijklabcd->", alpha, t_bar, optimize=True))
-    E_MP6 += 2 * float(jnp.einsum("ijklabcd,ijklabcd->", beta, t_tilde, optimize=True))
-    E_Q = E_MP5 + E_MP6
-    log("[Done]", calculation, 1, silent=silent)
-
-    log(f"\n  Contribution from MP5:              {E_MP5:13.10f}", calculation, 2, silent=silent)
-    log(f"  Contribution from MP6:              {E_MP6:13.10f}", calculation, 2, silent=silent)
-    log(f"\n  CCSDT(Q) correlation energy:        {E_Q:13.10f}", calculation, 1, silent=silent)
-    return E_Q
