@@ -71,7 +71,7 @@ def run_post_SCF_energy_calculation(molecule, integrals, SCF_output, grid_contai
             weights, calculation, silent)
 
     if calculation.stability_analysis:
-        from ..post import stability
+        from ..post import ci as stability
         stability.determine_self_consistent_field_stability(
             molecule, calculation, integrals.ERI_AO, SCF_output, bfs_on_grid,
             weights, silent)

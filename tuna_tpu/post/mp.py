@@ -62,86 +62,100 @@ def _log_scs(calculation, silent):
 # Relaxed (response) densities via Z-vector equations
 # ---------------------------------------------------------------------------
 
-def _restricted_relaxed_density(P_unrelaxed, w_ijab, g, epsilons, o, v, n_occ,
-                                n_virt, calculation, K_XC, K_XC_full):
-    """Z-vector relaxed MP2 density, spatial orbitals (tuna_mp.py:177-279).
-
-    g is in physicists' notation here."""
-    g = np.asarray(g)
-    w_ijab = np.asarray(w_ijab)
-    epsilons = np.asarray(epsilons)
-    o_occ = slice(0, n_occ)
+def _frozen_core_response(P0, amp_weights, g, epsilons, o, v, spin_adapted):
+    """Frozen-occupied rotation contribution to the response density: the
+    Lagrangian coupling between frozen and active occupied orbitals, divided
+    by the orbital-energy gap."""
     n_frozen = 0 if o.start is None else o.start
+    if n_frozen == 0:
+        return P0
     f = slice(0, n_frozen)
+    rhs = jnp.einsum("ijab,Fjab->Fi", amp_weights, g[f, o, v, v], optimize=True)
+    if spin_adapted:
+        rhs = rhs + jnp.einsum("jibc,jFbc->Fi", amp_weights, g[o, f, v, v],
+                               optimize=True)
+    z_fo = rhs / (epsilons[o][None, :] - epsilons[f][:, None])
+    P0 = P0.at[f, o].add(0.5 * z_fo)
+    P0 = P0.at[o, f].add(0.5 * z_fo.T)
+    return P0
 
-    P_relaxed = np.asarray(P_unrelaxed).copy()
 
-    L_ia = np.zeros((n_occ, n_virt))
-    L_ia[o, :] += np.einsum("ijbc,ajbc->ia", w_ijab, g[v, o, v, v], optimize=True)
-    L_ia[o, :] += np.einsum("jibc,jabc->ia", w_ijab, g[o, v, v, v], optimize=True)
-    L_ia -= np.einsum("jkab,jkib->ia", w_ijab, g[o, o, o_occ, v], optimize=True)
-    L_ia -= np.einsum("jkba,jkbi->ia", w_ijab, g[o, o, v, o_occ], optimize=True)
+def _solve_zvector(rhs_ov, A_plus_B, n_occ, n_virt):
+    z = jnp.linalg.solve(A_plus_B, -rhs_ov.ravel())
+    return z.reshape(n_occ, n_virt)
 
-    P_source = np.asarray(P_unrelaxed).copy()
-    if n_frozen > 0:
-        L_fi = np.einsum("ijab,Fjab->Fi", w_ijab, g[f, o, v, v], optimize=True)
-        L_fi += np.einsum("jibc,jFbc->Fi", w_ijab, g[o, f, v, v], optimize=True)
-        z_fi = L_fi / (epsilons[o][None, :] - epsilons[f][:, None])
-        for target in (P_relaxed, P_source):
-            target[f, o] += 0.5 * z_fi
-            target[o, f] += 0.5 * z_fi.T
 
-    L_fock = 4 * np.einsum("pq,apiq->ia", P_source, g[v, :, o_occ, :], optimize=True)
-    L_fock -= np.einsum("pq,aipq->ia", P_source, g[v, o_occ, :, :], optimize=True) * calculation.HFX_prop
-    L_fock -= np.einsum("pq,aiqp->ia", P_source, g[v, o_occ, :, :], optimize=True) * calculation.HFX_prop
+def _restricted_relaxed_density(P_unrelaxed, amp_weights, g, epsilons, o, v,
+                                n_occ, n_virt, calculation, K_XC, K_XC_full):
+    """Spin-adapted Z-vector (response) MP2 density.
+
+    amp_weights are the pre-scaled amplitude combinations entering the
+    Lagrangian; g is the full physicists' MO tensor.  The orbital-response
+    z is obtained from one (A+B) linear solve (capability parity:
+    tuna_mp.py:177-279, restructured on device)."""
+    g = jnp.asarray(g)
+    amp_weights = jnp.asarray(amp_weights)
+    epsilons = jnp.asarray(epsilons)
+    oa = slice(0, n_occ)  # all occupied, frozen included
+
+    # amplitude part of the occupied-virtual Lagrangian
+    rhs = jnp.zeros((n_occ, n_virt))
+    rhs = rhs.at[o, :].add(
+        jnp.einsum("ijbc,ajbc->ia", amp_weights, g[v, o, v, v], optimize=True)
+        + jnp.einsum("jibc,jabc->ia", amp_weights, g[o, v, v, v], optimize=True))
+    rhs = rhs - (jnp.einsum("jkab,jkib->ia", amp_weights, g[o, o, oa, v], optimize=True)
+                 + jnp.einsum("jkba,jkbi->ia", amp_weights, g[o, o, v, oa], optimize=True))
+
+    P_relaxed = _frozen_core_response(jnp.asarray(P_unrelaxed), amp_weights, g,
+                                      epsilons, o, v, spin_adapted=True)
+
+    # generalised-Fock part, driven by the (frozen-corrected) density
+    hfx = calculation.HFX_prop
+    rhs_fock = 4.0 * jnp.einsum("pq,apiq->ia", P_relaxed, g[v, :, oa, :], optimize=True)
+    rhs_fock = rhs_fock - hfx * (
+        jnp.einsum("pq,aipq->ia", P_relaxed, g[v, oa, :, :], optimize=True)
+        + jnp.einsum("pq,aiqp->ia", P_relaxed, g[v, oa, :, :], optimize=True))
     if K_XC_full is not None:
-        L_fock += 2 * np.einsum("iapq,pq->ia", np.asarray(K_XC_full), P_source, optimize=True)
+        rhs_fock = rhs_fock + 2.0 * jnp.einsum("iapq,pq->ia", jnp.asarray(K_XC_full),
+                                               P_relaxed, optimize=True)
 
-    L_total = L_fock + L_ia
-    A = response.calculate_A_matrix(calculation, g, epsilons, o_occ, v, K_XC, "singlet")
-    B = response.calculate_B_matrix(calculation, g, o, v, K_XC, "singlet")
-    z = np.linalg.solve(A + B, -L_total.ravel()).reshape(n_occ, n_virt)
-    P_relaxed[o_occ, v] += 0.5 * z
-    P_relaxed[v, o_occ] += 0.5 * z.T
+    A = response.singlet_A(calculation, g, epsilons, oa, v, K_XC)
+    B = response.singlet_B(calculation, g, oa, v, K_XC)
+    z = _solve_zvector(rhs_fock + rhs, jnp.asarray(A) + jnp.asarray(B), n_occ, n_virt)
+    P_relaxed = P_relaxed.at[oa, v].add(0.5 * z)
+    P_relaxed = P_relaxed.at[v, oa].add(0.5 * z.T)
     return P_relaxed
 
 
-def _unrestricted_relaxed_density(P_unrelaxed, w_ijab, g, ERI_SO, epsilons, o, v,
-                                  n_occ, n_virt, calculation, K_XC, K_XC_full):
-    """Z-vector relaxed MP2 density, spin orbitals (tuna_mp.py:290-392)."""
-    g = np.asarray(g)
-    ERI_SO = np.asarray(ERI_SO)
-    w_ijab = np.asarray(w_ijab)
-    epsilons = np.asarray(epsilons)
-    o_occ = slice(0, n_occ)
-    n_frozen = 0 if o.start is None else o.start
-    f = slice(0, n_frozen)
+def _unrestricted_relaxed_density(P_unrelaxed, amp_weights, g, ERI_SO, epsilons,
+                                  o, v, n_occ, n_virt, calculation, K_XC,
+                                  K_XC_full):
+    """Spin-orbital Z-vector MP2 density (parity: tuna_mp.py:290-392)."""
+    g = jnp.asarray(g)
+    amp_weights = jnp.asarray(amp_weights)
+    epsilons = jnp.asarray(epsilons)
+    oa = slice(0, n_occ)
 
-    P_relaxed = np.asarray(P_unrelaxed).copy()
+    rhs = jnp.zeros((n_occ, n_virt))
+    rhs = rhs.at[o, :].add(
+        jnp.einsum("ijbc,ajbc->ia", amp_weights, g[v, o, v, v], optimize=True))
+    rhs = rhs - jnp.einsum("jkab,jkib->ia", amp_weights, g[o, o, oa, v], optimize=True)
 
-    L_ia = np.zeros((n_occ, n_virt))
-    L_ia[o, :] += np.einsum("ijbc,ajbc->ia", w_ijab, g[v, o, v, v], optimize=True)
-    L_ia -= np.einsum("jkab,jkib->ia", w_ijab, g[o, o, o_occ, v], optimize=True)
+    P_relaxed = _frozen_core_response(jnp.asarray(P_unrelaxed), amp_weights, g,
+                                      epsilons, o, v, spin_adapted=False)
 
-    P_source = np.asarray(P_unrelaxed).copy()
-    if n_frozen > 0:
-        L_fi = np.einsum("ijab,Fjab->Fi", w_ijab, g[f, o, v, v], optimize=True)
-        z_fi = L_fi / (epsilons[o][None, :] - epsilons[f][:, None])
-        for target in (P_relaxed, P_source):
-            target[f, o] += 0.5 * z_fi
-            target[o, f] += 0.5 * z_fi.T
-
-    g_response = ERI_SO - calculation.HFX_prop * ERI_SO.transpose(0, 1, 3, 2)
-    L_fock = 2 * np.einsum("pq,apiq->ia", P_source, g_response[v, :, o_occ, :], optimize=True)
+    g_response = jnp.asarray(ERI_SO) - calculation.HFX_prop * jnp.asarray(ERI_SO).transpose(0, 1, 3, 2)
+    rhs_fock = 2.0 * jnp.einsum("pq,apiq->ia", P_relaxed, g_response[v, :, oa, :],
+                                optimize=True)
     if K_XC_full is not None:
-        L_fock += 2 * np.einsum("iapq,pq->ia", np.asarray(K_XC_full), P_source, optimize=True)
+        rhs_fock = rhs_fock + 2.0 * jnp.einsum("iapq,pq->ia", jnp.asarray(K_XC_full),
+                                               P_relaxed, optimize=True)
 
-    L_total = L_fock + L_ia
-    A = response.calculate_A_matrix(calculation, g_response, epsilons, o_occ, v, K_XC)
-    B = response.calculate_B_matrix(calculation, g_response, o_occ, v, K_XC)
-    z = np.linalg.solve(A + B, -L_total.ravel()).reshape(n_occ, n_virt)
-    P_relaxed[o_occ, v] += 0.5 * z
-    P_relaxed[v, o_occ] += 0.5 * z.T
+    A = response.spin_orbital_A(calculation, g_response, epsilons, oa, v, K_XC)
+    B = response.spin_orbital_B(calculation, g_response, oa, v, K_XC)
+    z = _solve_zvector(rhs_fock + rhs, jnp.asarray(A) + jnp.asarray(B), n_occ, n_virt)
+    P_relaxed = P_relaxed.at[oa, v].add(0.5 * z)
+    P_relaxed = P_relaxed.at[v, oa].add(0.5 * z.T)
     return P_relaxed
 
 

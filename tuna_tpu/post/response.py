@@ -1,57 +1,99 @@
 """Orbital-rotation response matrices: the CIS/TDHF "A" (excitation) and "B"
-(de-excitation) blocks and the orbital Hessian, shared by CIS/TDHF, SCF
+(de-excitation) blocks and the orbital Hessian, shared by CIS/TDHF/TDA, SCF
 stability analysis and the MP2 Z-vector (relaxed density) equations.
 
-Conventions follow /root/reference/TUNA/tuna_ci.py:715-911, with integrals in
-physicists' notation (spatial: plain <pq|rs>; spin-orbital: antisymmetrised
-or response-scaled <pq||rs>).
+Spatial-orbital (spin-adapted) blocks come in singlet / triplet flavours;
+spin-orbital blocks take a pre-antisymmetrised (or response-scaled) tensor.
+Built on device as 4-index tensors, then flattened to (ov x ov) matrices.
+Capability parity: /root/reference/TUNA/tuna_ci.py:715-911.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
+import numpy as np
 
 from ..output import timer
 
 
+def _flatten_symmetrise(M4, eps_diag=None):
+    n_ov = M4.shape[0] * M4.shape[1]
+    M = M4.reshape(n_ov, n_ov)
+    if eps_diag is not None:
+        M = M + jnp.diag(eps_diag.ravel())
+    return 0.5 * (M + M.T)
+
+
+def _orbital_gaps(epsilons, o, v):
+    return epsilons[v][None, :] - epsilons[o][:, None]
+
+
+def singlet_A(calculation, g, epsilons, o, v, K_XC=None):
+    """Spin-adapted singlet excitation block: (ia|jb)-coupled."""
+    g = jnp.asarray(g)
+    A = 2.0 * g[o, o, v, v].transpose(0, 2, 1, 3) \
+        - calculation.HFX_prop * g[o, v, o, v]
+    if K_XC is not None:
+        A = A + jnp.asarray(K_XC)
+    return _flatten_symmetrise(A, _orbital_gaps(jnp.asarray(epsilons), o, v))
+
+
+def triplet_A(calculation, g, epsilons, o, v, K_XC=None):
+    g = jnp.asarray(g)
+    A = -calculation.HFX_prop * g[o, v, o, v]
+    if K_XC is not None:
+        A = A + jnp.asarray(K_XC)
+    return _flatten_symmetrise(A, _orbital_gaps(jnp.asarray(epsilons), o, v))
+
+
+def singlet_B(calculation, g, o, v, K_XC=None):
+    g = jnp.asarray(g)
+    B = 2.0 * g[o, o, v, v].transpose(0, 2, 1, 3) \
+        - calculation.HFX_prop * g[o, o, v, v].transpose(0, 3, 1, 2)
+    if K_XC is not None:
+        B = B + jnp.asarray(K_XC)
+    return _flatten_symmetrise(B)
+
+
+def triplet_B(calculation, g, o, v, K_XC=None):
+    g = jnp.asarray(g)
+    B = -calculation.HFX_prop * g[o, o, v, v].transpose(0, 3, 1, 2)
+    if K_XC is not None:
+        B = B + jnp.asarray(K_XC)
+    return _flatten_symmetrise(B)
+
+
+def spin_orbital_A(calculation, g, epsilons, o, v, K_XC=None):
+    """Spin-orbital excitation block <aj||ib> reordered to (ia,jb)."""
+    g = jnp.asarray(g)
+    A = g[v, o, o, v].transpose(2, 0, 1, 3)
+    if K_XC is not None:
+        A = A + jnp.asarray(K_XC)
+    return _flatten_symmetrise(A, _orbital_gaps(jnp.asarray(epsilons), o, v))
+
+
+def spin_orbital_B(calculation, g, o, v, K_XC=None):
+    g = jnp.asarray(g)
+    B = g[v, v, o, o].transpose(2, 0, 3, 1)
+    if K_XC is not None:
+        B = B + jnp.asarray(K_XC)
+    return _flatten_symmetrise(B)
+
+
 def calculate_A_matrix(calculation, g, epsilons, o, v, K_XC=None,
                        matrix_type="singlet"):
-    g = np.asarray(g)
-    epsilons = np.asarray(epsilons)
+    """Dispatching wrapper retained for generic callers."""
     if calculation.reference == "RHF":
-        if matrix_type == "singlet":
-            A = 2 * g[o, o, v, v].transpose(0, 2, 1, 3) - g[o, v, o, v] * calculation.HFX_prop
-        else:
-            A = -g[o, v, o, v] * calculation.HFX_prop
-    else:
-        A = np.array(g[v, o, o, v].transpose(2, 0, 1, 3))
-
-    if K_XC is not None:
-        A = A + np.asarray(K_XC)
-
-    A_ia_jb = A.reshape(A.shape[0] * A.shape[1], -1).copy()
-    A_ia_jb[np.diag_indices_from(A_ia_jb)] += (
-        epsilons[v][None, :] - epsilons[o][:, None]).ravel()
-    return 0.5 * (A_ia_jb + A_ia_jb.T)
+        fn = singlet_A if matrix_type == "singlet" else triplet_A
+        return fn(calculation, g, epsilons, o, v, K_XC)
+    return spin_orbital_A(calculation, g, epsilons, o, v, K_XC)
 
 
 def calculate_B_matrix(calculation, g, o, v, K_XC=None, matrix_type="singlet"):
-    g = np.asarray(g)
     if calculation.reference == "RHF":
-        if matrix_type == "singlet":
-            B = (2 * g[o, o, v, v].transpose(0, 2, 1, 3)
-                 - g[o, o, v, v].transpose(0, 3, 1, 2) * calculation.HFX_prop)
-        else:
-            B = -g[o, o, v, v].transpose(0, 3, 1, 2) * calculation.HFX_prop
-    else:
-        B = g[v, v, o, o].transpose(2, 0, 3, 1)
-
-    if K_XC is not None:
-        B = B + np.asarray(K_XC)
-
-    B_ia_jb = B.reshape(B.shape[0] * B.shape[1], -1)
-    return 0.5 * (B_ia_jb + B_ia_jb.T)
+        fn = singlet_B if matrix_type == "singlet" else triplet_B
+        return fn(calculation, g, o, v, K_XC)
+    return spin_orbital_B(calculation, g, o, v, K_XC)
 
 
 def build_orbital_hessian(g, epsilons, o, v, calculation, hessian_type="singlet",
@@ -59,16 +101,18 @@ def build_orbital_hessian(g, epsilons, o, v, calculation, hessian_type="singlet"
     """H = [[A, B], [B, A]]; spin-forbidden rotations screened out for UHF."""
     timer("Orbital Hessian construction", 0)
     if calculation.reference == "UHF":
-        A = calculate_A_matrix(calculation, g, epsilons, o, v, K_XC)
-        B = calculate_B_matrix(calculation, g, o, v, K_XC)
+        A = np.asarray(spin_orbital_A(calculation, g, epsilons, o, v, K_XC))
+        B = np.asarray(spin_orbital_B(calculation, g, o, v, K_XC))
         spin_occupied = np.array(spin_labels)[o]
         spin_virtual = np.array(spin_labels)[v]
         spin_conserving = (spin_occupied[:, None] == spin_virtual[None, :]).ravel()
         A = A[spin_conserving][:, spin_conserving]
         B = B[spin_conserving][:, spin_conserving]
     else:
-        A = calculate_A_matrix(calculation, g, epsilons, o, v, K_XC, hessian_type)
-        B = calculate_B_matrix(calculation, g, o, v, K_XC, hessian_type)
+        A = np.asarray(calculate_A_matrix(calculation, g, epsilons, o, v, K_XC,
+                                          hessian_type))
+        B = np.asarray(calculate_B_matrix(calculation, g, o, v, K_XC,
+                                          hessian_type))
     H = np.block([[A, B], [B, A]])
     H = 0.5 * (H + H.T)
     timer("Orbital Hessian construction", 1)
