@@ -1,0 +1,86 @@
+"""Numerical parity against the actual reference implementation.
+
+The reference (/root/reference/TUNA) runs in-process through
+tools.reference_oracle, which shims only its native integral module; every
+downstream layer (SCF, DFT, MPn, CC, CI, properties) is the reference's own
+code.  The BASELINE.json contract is <= 1e-8 Ha agreement; these tests pin
+the gate configs at TIGHTSCF so both sides converge to the same point.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.reference_oracle import reference_energy  # noqa: E402
+from tuna_tpu.cli import run  # noqa: E402
+
+
+def ours(line):
+    return run(line, suppress_output=True)[2]
+
+
+def assert_parity(line, tol=1e-8):
+    E_ours = ours(line)
+    E_ref = reference_energy(line)
+    assert abs(E_ours - E_ref) < tol, (
+        f"{line}: ours {E_ours:.12f} vs reference {E_ref:.12f} "
+        f"(delta {abs(E_ours - E_ref):.2e})")
+
+
+@pytest.mark.smoke
+def test_gate_1_hf_sto3g():
+    assert_parity("SPE : H H 0.74 : HF STO-3G : TIGHTSCF")
+
+
+def test_gate_2_mp2_n2():
+    assert_parity("SPE : N N 1.1 : MP2 6-31G : TIGHTSCF")
+
+
+@pytest.mark.slow
+def test_gate_4_ccsd_t_n2():
+    """The north-star config."""
+    assert_parity("SPE : N N 1.1 : CCSD[T] 6-311G : TIGHTSCF")
+
+
+def test_uhf_cell():
+    assert_parity("SPE : LI H 1.6 : UHF 6-31G : CH 1 ML 2 TIGHTSCF")
+
+
+def test_ump2_cell():
+    assert_parity("SPE : LI H 1.6 : UMP2 STO-3G : CH 1 ML 2 TIGHTSCF")
+
+
+@pytest.mark.slow
+def test_dft_cell_b3lyp():
+    assert_parity("SPE : H H 0.74 : B3LYP 6-31G : TIGHTSCF", tol=2e-7)
+
+
+def test_cis_excitation():
+    assert_parity("SPE : H H 0.74 : CIS 6-31G : NSTATES 3 TIGHTSCF")
+
+
+def test_tdhf_excitation():
+    assert_parity("SPE : H H 0.74 : TDHF 6-31G : TIGHTSCF")
+
+
+def test_cis_d_excitation():
+    assert_parity("SPE : H H 0.74 : CIS[D] 6-31G : TIGHTSCF")
+
+
+def test_mp3_cell():
+    assert_parity("SPE : H H 0.74 : MP3 6-31G : TIGHTSCF")
+
+
+def test_mp4_cell():
+    assert_parity("SPE : H H 0.74 : MP4 6-31G : TIGHTSCF")
+
+
+def test_ccsd_lih():
+    assert_parity("SPE : LI H 1.6 : CCSD STO-3G : TIGHTSCF")
+
+
+def test_cisd_cell():
+    assert_parity("SPE : H H 0.74 : CISD 6-31G : TIGHTSCF")
