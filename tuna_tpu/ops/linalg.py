@@ -48,6 +48,26 @@ def eigh(A: jnp.ndarray, polish_steps: int = _POLISH_STEPS):
     return w[order], V[:, order]
 
 
+def solve_symmetric(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-14):
+    """Solve A x = b for symmetric A via the polished eigendecomposition.
+
+    The TPU backend implements no f64 LU factorisation (LuDecomposition is
+    F32/C64-only), so jnp.linalg.solve cannot compile there; the eigh route
+    can, and doubles as a pseudo-inverse for near-singular systems such as
+    saturated DIIS B-matrices.  Returns (x, ok) where ok certifies a small
+    residual -- False signals a genuinely inconsistent (singular) system.
+    """
+    w, V = eigh(A)
+    scale = jnp.max(jnp.abs(w))
+    cutoff = rcond * jnp.maximum(scale, 1e-300)
+    safe = jnp.abs(w) > cutoff
+    inv_w = jnp.where(safe, 1.0 / jnp.where(safe, w, 1.0), 0.0)
+    x = V @ (inv_w * (V.T @ b))
+    residual = jnp.linalg.norm(A @ x - b)
+    ok = residual < 1e-8 * (1.0 + jnp.linalg.norm(b))
+    return x, ok
+
+
 def inverse_sqrt(S: jnp.ndarray, eigenvalues: jnp.ndarray | None = None,
                  ns_steps: int = _NS_STEPS):
     """S^-1/2 for SPD S via eigh seed + Newton-Schulz refinement.

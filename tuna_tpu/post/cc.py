@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import linalg
 from ..output import error, log, log_spacer, timer
 from . import transforms
 
@@ -614,9 +615,9 @@ def _diis_coefficients(err_buf, n_valid, M):
     A = A.at[:M, M].set(jnp.where(valid, -1.0, 0.0))
     A = A.at[M, :M].set(jnp.where(valid, -1.0, 0.0))
     rhs = jnp.zeros(M + 1, dtype=dtype).at[M].set(-1.0)
-    coeffs = jnp.linalg.solve(A, rhs)[:M]
-    coeffs = jnp.where(valid, coeffs, 0.0)
-    return jnp.all(jnp.isfinite(coeffs)), coeffs
+    coeffs, ok = linalg.solve_symmetric(A, rhs)
+    coeffs = jnp.where(valid, coeffs[:M], 0.0)
+    return ok & jnp.all(jnp.isfinite(coeffs)), coeffs
 
 
 def _make_cc_solver(settings: CCSettings):

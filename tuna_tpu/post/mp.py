@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import linalg
 from ..output import error, log, log_spacer, timer
 from ..scf.guess import natural_orbitals_of_density
 from . import response, transforms
@@ -24,6 +25,13 @@ from . import response, transforms
 # ---------------------------------------------------------------------------
 # Helpers
 # ---------------------------------------------------------------------------
+
+def _host_expm(M):
+    """Matrix exponential on host: the TPU backend lacks the f64 LU solves
+    inside the Pade algorithm, and these matrices are small."""
+    import scipy.linalg
+    return scipy.linalg.expm(np.asarray(M))
+
 
 def print_natural_orbitals(P, X, S, calculation, silent=False):
     occupancies, orbitals = natural_orbitals_of_density(P, X, S)
@@ -81,7 +89,7 @@ def _frozen_core_response(P0, amp_weights, g, epsilons, o, v, spin_adapted):
 
 
 def _solve_zvector(rhs_ov, A_plus_B, n_occ, n_virt):
-    z = jnp.linalg.solve(A_plus_B, -rhs_ov.ravel())
+    z, _ = linalg.solve_symmetric(A_plus_B, -rhs_ov.ravel())
     return z.reshape(n_occ, n_virt)
 
 
@@ -555,7 +563,8 @@ def run_restricted_laplace_MP2(integrals, F, calculation, P, silent=False):
     log_spacer(calculation, silent=silent)
 
     log("  Constructing hole density matrix...        ", calculation, 1, end="", silent=silent)
-    Q = jnp.linalg.inv(jnp.asarray(integrals.S)) - P
+    _, _, S_inverse = linalg.inverse_sqrt(jnp.asarray(integrals.S))
+    Q = S_inverse - P
     log("[Done]", calculation, 1, silent=silent)
 
     tau = calculation.num_laplace_points
@@ -580,8 +589,8 @@ def run_restricted_laplace_MP2(integrals, F, calculation, P, silent=False):
     for i in range(len(s)):
         log(f"\n   ~~~~~ Grid Point {i + 1} of {len(s)}  ~~~~~ ", calculation, 1, silent=silent)
         log("\n   Building energy-weighted densities...     ", calculation, 1, end="", silent=silent)
-        Xm = jsl.expm(s[i] * P @ F) @ P
-        Ym = jsl.expm(-s[i] * Q @ F) @ Q
+        Xm = jnp.asarray(_host_expm(s[i] * P @ F)) @ P
+        Ym = jnp.asarray(_host_expm(-s[i] * Q @ F)) @ Q
         log("[Done]", calculation, 1, silent=silent)
         log("   Calculating energy components...          ", calculation, 1, end="", silent=silent)
         L1 = jnp.tensordot(Xm, L_AO, axes=([0], [0]))
@@ -733,7 +742,7 @@ def run_orbital_optimised_MP2(molecule, calculation, g, C_spin_block, H_core, V_
         R = jnp.zeros((n_SO, n_SO))
         R = R.at[v, o].set((F_gen - F_gen.T)[v, o]
                            / (epsilons[n, o] - epsilons[v, n]))
-        U = jsl.expm(R - R.T)
+        U = jnp.asarray(_host_expm(R - R.T))
         C_spin_block = C_spin_block @ U
 
         H_core_SO = transforms.transform_matrix_ao_to_so(H_core_sb, C_spin_block)

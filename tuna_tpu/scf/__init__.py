@@ -155,9 +155,9 @@ def _diis_extrapolate(fock_buf, err_buf, n_valid, X, settings: SCFSettings):
     Bfull = Bfull.at[:M, M].set(jnp.where(valid, -1.0, 0.0))
     Bfull = Bfull.at[M, :M].set(jnp.where(valid, -1.0, 0.0))
     rhs = jnp.zeros(M + 1, dtype=dtype).at[M].set(-1.0)
-    coeffs = jnp.linalg.solve(Bfull, rhs)[:M]
-    coeffs = jnp.where(valid, coeffs, 0.0)
-    ok = jnp.all(jnp.isfinite(coeffs))
+    coeffs, ok = linalg.solve_symmetric(Bfull, rhs)
+    coeffs = jnp.where(valid, coeffs[:M], 0.0)
+    ok = ok & jnp.all(jnp.isfinite(coeffs))
     F_a = jnp.einsum("m,mij->ij", coeffs, fock_buf[:, 0])
     F_b = jnp.einsum("m,mij->ij", coeffs, fock_buf[:, 1])
     return ok, F_a, F_b
