@@ -17,8 +17,21 @@ from ..stencils import first_derivative, second_derivative
 from . import energy as energ
 
 
-def calculate_gradient(coordinates, calculation, atomic_symbols, silent=False):
-    """Central-difference dE/dR along the bond (tuna_opt.py:37-76)."""
+def calculate_gradient(coordinates, calculation, atomic_symbols, silent=False,
+                       molecule=None, SCF_output=None):
+    """dE/dR along the bond: analytic (autodiff through the integral engine,
+    drivers/gradients.py) for Hartree-Fock, central finite differences of
+    full energy evaluations otherwise (tuna_opt.py:37-76)."""
+    from . import gradients
+    if (molecule is not None and SCF_output is not None
+            and gradients.analytic_gradient_available(calculation)):
+        log(" Calculating analytic gradient (autodiff)...          ",
+            calculation, 1, end="", silent=silent)
+        gradient = gradients.calculate_analytic_gradient(
+            molecule, calculation, SCF_output, coordinates)
+        log("[Done]", calculation, 1, silent=silent)
+        return gradient
+
     prod = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, constants.FIRST_GEOM_DERIVATIVE_STEP]])
     log(" Calculating energy on displaced geometry 1 of 2...   ", calculation, 1,
         end="", silent=silent)
@@ -155,9 +168,10 @@ def optimise_geometry(calculation, atomic_symbols, coordinates,
             P_guess_beta = SCF_output.P_beta
             E_guess = SCF_output.energy
 
-        log("\n Beginning numerical gradient calculation...  \n", calculation, 1)
+        log("\n Beginning gradient calculation...  \n", calculation, 1)
         gradient = calculate_gradient(coordinates, calculation, atomic_symbols,
-                                      silent=False)
+                                      silent=False, molecule=molecule,
+                                      SCF_output=SCF_output)
 
         bond_length = molecule.bond_length
         hessian = (update_hessian(calculation, coordinates, atomic_symbols, energy,
