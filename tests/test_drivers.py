@@ -1,0 +1,100 @@
+"""Multi-point driver tests (L6/L7): OPT, FORCE, FREQ, MD, SCAN, IP/EA/BDE,
+polarisability, CBS extrapolation and thermochemistry at STO-3G scale, plus
+the analytic-vs-finite-difference gradient cross-check."""
+
+import time
+
+import numpy as np
+import pytest
+
+from tuna_tpu.cli import parse_input, process_method, run
+from tuna_tpu.config import Config
+
+
+def make_config(line):
+    ct, ms, basis, symbols, coords, params = parse_input(line)
+    cfg = Config(ct, process_method(ms), time.time(), params, basis, symbols,
+                 suppress_output=True)
+    return cfg, symbols, coords
+
+
+@pytest.mark.smoke
+def test_analytic_gradient_matches_finite_difference():
+    from tuna_tpu.drivers import energy as energ, gradients, opt
+
+    cfg, symbols, coords = make_config("SPE : H H 0.9 : HF STO-3G : TIGHTSCF")
+    SCF_output, molecule, _, _ = energ.evaluate_molecular_energy(
+        cfg, symbols, coords, silent=True)
+    g_analytic = gradients.calculate_analytic_gradient(molecule, cfg, SCF_output,
+                                                       coords)
+    g_fd = opt.calculate_gradient(coords, cfg, symbols, silent=True)
+    assert abs(g_analytic - g_fd) < 1e-6
+
+
+def test_opt_converges_h2():
+    molecule, energy = run("OPT : H H 1.0 : HF STO-3G", suppress_output=True)
+    # HF/STO-3G equilibrium bond length of H2 is 1.346 bohr
+    assert abs(molecule.bond_length - 1.3459) < 1e-3
+    assert energy < -1.117
+
+
+def test_force_single_iteration():
+    result = run("FORCE : H H 1.0 : HF STO-3G", suppress_output=True)
+    assert result is None  # single gradient iteration, no convergence claim
+
+
+def test_freq_h2():
+    hessian, reduced_mass, frequency_per_cm, zpe = run(
+        "FREQ : H H 0.7375 : HF STO-3G", suppress_output=True)
+    # near-equilibrium H2 harmonic frequency ~ 5480 per cm at HF/STO-3G
+    assert 5000 < frequency_per_cm < 6000
+    assert zpe > 0
+
+
+def test_md_nve_runs():
+    run("MD : H H 1.0 : HF STO-3G : NUM 4 NOTRAJ", suppress_output=True)
+
+
+def test_scan_bond():
+    bond_lengths, energies, dipoles = run(
+        "SCAN : H H 0.6 : HF STO-3G : NUM 4 STEP 0.1", suppress_output=True)
+    assert len(energies) == 4
+    # energy minimum should lie between the endpoints for this range
+    assert min(energies) < energies[0] and min(energies) < energies[-1]
+
+
+def test_ip_koopmans_vertical():
+    result = run("IP : H H 0.74 : HF STO-3G", suppress_output=True)
+    assert result is not None
+
+
+def test_bde_with_ghost_counterpoise():
+    run("BDE : H H 0.74 : HF STO-3G", suppress_output=True)
+
+
+def test_polarisability():
+    cfg, symbols, coords = make_config("SPE : H H 0.74 : HF STO-3G : POLAR")
+    from tuna_tpu.drivers import energy as energ
+    SCF_output, molecule, E, P = energ.calculate_energy(
+        cfg, symbols, coords, terse=True, silent=False)
+    # driver-level POLAR path exercised through calculate_energy's epilogue
+
+
+def test_cbs_extrapolation():
+    _, _, E_cbs, _ = run("SPE : H H 0.74 : HF CC-PVDZ : EXTRAPOLATE",
+                         suppress_output=True)
+    E_dz = run("SPE : H H 0.74 : HF CC-PVDZ", suppress_output=True)[2]
+    E_tz = run("SPE : H H 0.74 : HF CC-PVTZ", suppress_output=True)[2]
+    assert E_cbs < E_dz  # CBS estimate below the small-basis energy
+    assert E_cbs < E_tz - 1e-6  # and below the large-basis energy
+
+
+def test_thermochemistry_via_freq():
+    run("FREQ : H H 0.7375 : HF STO-3G : TEMP 298", suppress_output=True)
+
+
+@pytest.mark.slow
+def test_optfreq_b3lyp_gate():
+    """Gate config #3: OPT at B3LYP/6-31G converges."""
+    molecule, energy = run("OPT : H H 1.0 : B3LYP 6-31G", suppress_output=True)
+    assert abs(molecule.bond_length - 1.404) < 5e-2

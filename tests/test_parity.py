@@ -84,3 +84,21 @@ def test_ccsd_lih():
 
 def test_cisd_cell():
     assert_parity("SPE : H H 0.74 : CISD 6-31G : TIGHTSCF")
+
+
+def test_rccsdt_lih():
+    assert_parity("SPE : LI H 1.6 : CCSDT STO-3G : TIGHTSCF")
+
+
+def test_ucisdt_lih():
+    assert_parity("SPE : LI H 1.6 : UCISDT STO-3G : NOROTATE TIGHTSCF")
+
+
+@pytest.mark.slow
+def test_ccsdtq_lih():
+    assert_parity("SPE : LI H 1.6 : CCSDTQ STO-3G : TIGHTSCF")
+
+
+@pytest.mark.slow
+def test_ccsdt_q_lih():
+    assert_parity("SPE : LI H 1.6 : CCSDT[Q] STO-3G : TIGHTSCF")

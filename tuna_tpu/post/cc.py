@@ -765,7 +765,8 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
     if base_name in ("CCSDT", "CISDT", "CCSDTQ"):
         from .cc_triples import solve_triples_method
         return solve_triples_method(g, o, v, t_amplitudes, e_denominators, F,
-                                    method, base_name, calculation, silent)
+                                    method, base_name, calculation, silent,
+                                    SCF_output, integrals)
 
     t_ia, t_ijab, _, _ = t_amplitudes
     d1, d2 = e_denominators[0], e_denominators[1]
