@@ -235,6 +235,91 @@ def print_molecular_orbital_eigenvalues(calculation, epsilons, occupancies, spin
     log_spacer(calculation, priority=2)
 
 
+_SHELL_COMPONENTS_SPHERICAL = {
+    "s": [""], "p": ["x", "y", "z"], "d": ["xy", "xz", "yz", "xxyy", "zz"],
+    "f": ["-3", "-2", "-1", "0", "+1", "+2", "+3"],
+    "g": ["-4", "-3", "-2", "-1", "0", "+1", "+2", "+3", "+4"],
+    "h": ["-5", "-4", "-3", "-2", "-1", "0", "+1", "+2", "+3", "+4", "+5"],
+}
+_SHELL_COMPONENTS_CARTESIAN = {
+    "s": [""], "p": ["x", "y", "z"],
+    "d": ["xx", "xy", "xz", "yy", "yz", "zz"],
+    "f": ["xxx", "xxy", "xxz", "xyy", "xyz", "xzz", "yyy", "yyz", "yzz", "zzz"],
+    "g": [f"c{i}" for i in range(1, 16)],
+    "h": [f"c{i}" for i in range(1, 22)],
+}
+_CARTESIAN_CAPACITY = {"s": 1, "p": 3, "d": 6, "f": 10, "g": 15, "h": 21}
+_STARTING_N = {"s": 1, "p": 2, "d": 3, "f": 4, "g": 5, "h": 6}
+
+
+def _ao_labels(molecule, calculation):
+    """Per-AO labels like "2px", "3dz" by walking the shell structure."""
+    components = (_SHELL_COMPONENTS_CARTESIAN if calculation.cartesian_harmonics
+                  else _SHELL_COMPONENTS_SPHERICAL)
+    labels = []
+    current_n = dict(_STARTING_N)
+    atom_1_cutoff = molecule.partition_ranges[0]
+    i = 0
+    while i < len(molecule.angular_momentum_list):
+        if len(labels) == atom_1_cutoff:
+            current_n = dict(_STARTING_N)
+        letter = molecule.angular_momentum_list[i]
+        n = current_n[letter]
+        for comp in components[letter]:
+            labels.append(f"{n}{letter}{comp}")
+        i += _CARTESIAN_CAPACITY[letter]
+        current_n[letter] += 1
+    return labels
+
+
+def print_molecular_orbital_coefficients(molecule, calculation, SCF_output,
+                                         occupancies, spin_labels,
+                                         natural_orbitals=None,
+                                         natural_occupancies=None):
+    """MO (or natural-orbital) coefficient tables with orbital-type labels
+    (parity: tuna_props.py:534-804; served by the PRINTMOS keyword)."""
+    do_natorbs = natural_orbitals is not None
+    priority = 1 if calculation.print_molecular_orbitals else 3
+    orbitals = np.asarray(natural_orbitals if do_natorbs
+                          else SCF_output.molecular_orbitals)
+    energies = np.asarray(SCF_output.epsilons)
+
+    title = ("Natural Orbital Coefficients" if do_natorbs
+             else "Molecular Orbital Coefficients")
+    log_spacer(calculation, priority=priority, start="\n")
+    log(f"          {title}", calculation, priority)
+    log_spacer(calculation, priority=priority)
+
+    labels = _ao_labels(molecule, calculation)
+    cut = molecule.partition_ranges[0]
+    atom_labels = [(molecule.atoms[min(1, 1 if ao >= cut else 0)].symbol_formatted
+                    if molecule.n_atoms > 1 and ao >= cut
+                    else molecule.atoms[0].symbol_formatted, labels[ao])
+                   for ao in range(len(labels))]
+    n_print = min(orbitals.shape[1], calculation.n_orbitals_to_print)
+    kind = "NO" if do_natorbs else "MO"
+
+    for mo in range(n_print):
+        if do_natorbs:
+            header = f"\n  {kind} {mo + 1:<3}   N = {natural_occupancies[mo]:14.10f}"
+        else:
+            occ = "Occupied" if occupancies[mo] in (1, 2) else "Virtual"
+            spin = (f"  ({'alpha' if spin_labels[mo] == 'a' else 'beta'})"
+                    if calculation.reference == "UHF" and spin_labels[mo] in ("a", "b")
+                    else "")
+            header = (f"\n  {kind} {mo + 1:<3} {occ}{spin}"
+                      f"   E = {energies[mo]:14.10f}")
+        log(header, calculation, priority)
+        for ao in range(orbitals.shape[0]):
+            coeff = orbitals[ao, mo]
+            if abs(coeff) < 1e-8:
+                continue
+            atom, label = atom_labels[ao]
+            log(f"    {atom:<3} {label:<7}: {coeff:11.5f}", calculation, priority)
+    log("", calculation, priority)
+    log_spacer(calculation, priority=priority)
+
+
 def calculate_molecular_properties(molecule, calculation, P, S, SCF_output,
                                    P_alpha=None, P_beta=None, natural_orbitals=None,
                                    natural_occupancies=None, print_orbitals=True):
@@ -260,8 +345,18 @@ def calculate_molecular_properties(molecule, calculation, P, S, SCF_output,
                 [occs[k] for k in order], [labels[k] for k in order])
         else:
             occs = [2 if i < n_occ else 0 for i in range(len(np.asarray(epsilons)))]
+            order = np.arange(len(occs))
+            labels = ["-"] * len(occs)
             print_molecular_orbital_eigenvalues(
-                calculation, epsilons, occs, ["-"] * len(occs))
+                calculation, epsilons, occs, labels)
+
+        sorted_occs = [(occs[k] if calculation.reference != "UHF" else occs[k])
+                       for k in order]
+        sorted_labels = [labels[k] for k in order]
+        print_molecular_orbital_coefficients(
+            molecule, calculation, SCF_output, sorted_occs, sorted_labels,
+            natural_orbitals=natural_orbitals,
+            natural_occupancies=natural_occupancies)
 
     calculate_koopmans_parameters(np.sort(np.asarray(epsilons)), n_occ, calculation)
 
