@@ -102,3 +102,10 @@ def test_ccsdtq_lih():
 @pytest.mark.slow
 def test_ccsdt_q_lih():
     assert_parity("SPE : LI H 1.6 : CCSDT[Q] STO-3G : TIGHTSCF")
+
+
+@pytest.mark.slow
+def test_uccsdt_equals_rccsdt():
+    E_r = ours("SPE : LI H 1.6 : CCSDT STO-3G : TIGHTSCF")
+    E_u = ours("SPE : LI H 1.6 : UCCSDT STO-3G : NOROTATE TIGHTSCF")
+    assert abs(E_r - E_u) < 1e-9

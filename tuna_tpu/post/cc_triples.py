@@ -274,6 +274,46 @@ def _restricted_ccsdtq_update(o, v, d1, d2, d3, d4, t1, t2, t3, t4,
 
 
 # ---------------------------------------------------------------------------
+# Unrestricted CCSDT (declarative term table)
+# ---------------------------------------------------------------------------
+
+def _term_operands(g, F, o, v, t1, t2, t3):
+    slices = {"o": o, "v": v}
+    operands = {"F_ov": F[o, v], "F_vv": F[v, v], "F_oo": F[o, o],
+                "t1": t1, "t2": t2, "t3": t3}
+
+    def lookup(name):
+        if name not in operands:
+            idx = tuple(slices[c] for c in name[2:])
+            operands[name] = g[idx]
+        return operands[name]
+
+    return lookup
+
+
+def _evaluate_terms(terms, lookup):
+    total = None
+    for factor, perms, subscripts, ops in terms:
+        term = factor * jnp.einsum(subscripts, *[lookup(k) for k in ops],
+                                   optimize=True)
+        for i, j in perms:
+            term = term - term.swapaxes(i, j)
+        total = term if total is None else total + term
+    return total
+
+
+def _unrestricted_ccsdt_update(g, F, o, v, d1, d2, d3, t1, t2, t3):
+    """Spin-orbital CCSDT via the term table in _uccsdt_terms (incremental
+    update against the full Fock matrix)."""
+    from ._uccsdt_terms import TERMS_T1, TERMS_T2, TERMS_T3
+    lookup = _term_operands(g, F, o, v, t1, t2, t3)
+    r1 = _evaluate_terms(TERMS_T1, lookup)
+    r2 = _evaluate_terms(TERMS_T2, lookup)
+    r3 = _evaluate_terms(TERMS_T3, lookup)
+    return t1 + d1 * r1, t2 + d2 * r2, t3 + d3 * r3
+
+
+# ---------------------------------------------------------------------------
 # Unrestricted CISDT
 # ---------------------------------------------------------------------------
 
@@ -387,6 +427,10 @@ def _make_solver(settings: TriplesSettings):
                 t1n, t2n, t3n = _unrestricted_cisdt_update(
                     UB, F, o, v, d1, d2, d3, t1, t2, t3)
                 return t1n, t2n, t3n, t4
+            if not settings.restricted:
+                t1n, t2n, t3n = _unrestricted_ccsdt_update(
+                    g, F, o, v, d1, d2, d3, t1, t2, t3)
+                return t1n, t2n, t3n, t4
             if not rank4:
                 t1n, t2n, t3n = _restricted_ccsdt_update(
                     o_g, v_g, d1, d2, d3, t1, t2, t3, ERI_AO, H_core, C)
@@ -473,8 +517,8 @@ def solve_triples_method(g, o, v, t_amplitudes, e_denominators, F, method,
     if base_name == "CISDT" and restricted:
         error("CISDT is only available for unrestricted references in TUNA-TPU "
               "(as in the reference) - use UCISDT!")
-    if base_name in ("CCSDT", "CCSDTQ") and not restricted:
-        error(f"Unrestricted {base_name} is not yet available in TUNA-TPU!")
+    if base_name == "CCSDTQ" and not restricted:
+        error("Unrestricted CCSDTQ is not yet available in TUNA-TPU!")
 
     t1_0, t2_0, t3_0, t4_0 = t_amplitudes
     d1, d2, d3, d4 = e_denominators
