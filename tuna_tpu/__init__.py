@@ -7,10 +7,24 @@ and property calculations -- with batched on-device molecular integrals,
 jit-compiled SCF and correlation solvers, and autodiff derivatives.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import os as _os
+import pathlib as _pathlib
 
 import jax as _jax
 
 # f64 numerics everywhere: chemical accuracy targets (1e-8 Ha) are
 # unreachable in f32.  On TPU this uses XLA's double-single emulation.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU compiles of the integral/SCF/CC kernels
+# are expensive (minutes through the remote-compile tunnel) but fully
+# reusable across processes; warm runs then start in seconds.
+_cache_dir = _os.environ.get(
+    "TUNA_TPU_COMPILE_CACHE",
+    str(_pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
+if _cache_dir and _cache_dir != "0":
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

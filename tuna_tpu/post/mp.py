@@ -171,6 +171,22 @@ def _unrestricted_relaxed_density(P_unrelaxed, amp_weights, g, ERI_SO, epsilons,
 # Restricted MP2
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("n_occ",))
+def _restricted_mp2_core(g_iajb, e_ijab, n_occ):
+    """Jitted MP2 energies and unrelaxed density blocks (one executable)."""
+    g_ijab = g_iajb
+    g_asym = g_ijab - g_ijab.swapaxes(2, 3)
+    E_OS = jnp.einsum("ijab,ijab,ijab->", g_ijab, g_ijab, e_ijab, optimize=True)
+    E_SS = jnp.einsum("ijab,ijab,ijab->", g_ijab, g_asym, e_ijab, optimize=True)
+    t_OS = -2.0 * g_ijab * e_ijab
+    t_SS = g_asym * e_ijab
+    oo_OS = -0.5 * jnp.einsum("kiab,kjab->ij", t_OS, t_OS, optimize=True)
+    vv_OS = 0.5 * jnp.einsum("ijbc,ijac->ab", t_OS, t_OS, optimize=True)
+    oo_SS = -jnp.einsum("kiab,kjab->ij", t_SS, t_SS, optimize=True)
+    vv_SS = jnp.einsum("ijbc,ijac->ab", t_SS, t_SS, optimize=True)
+    return E_OS, E_SS, oo_OS, vv_OS, oo_SS, vv_SS
+
+
 def run_restricted_MP2(ERI_MO, epsilons, molecular_orbitals, o, v, X, calculation,
                        molecule, S=None, silent=False, K_XC=None, K_XC_full=None):
     natural_occ, naturals = None, None
@@ -185,11 +201,9 @@ def run_restricted_MP2(ERI_MO, epsilons, molecular_orbitals, o, v, X, calculatio
     log("  Calculating MP2 correlation energy... ", calculation, 1, end="", silent=silent)
 
     ERI_phys = transforms.chemists_to_physicists(ERI_MO)
-    g_ijab = ERI_phys[o, o, v, v]
-    g_ijab_asym = g_ijab - g_ijab.swapaxes(2, 3)
-
-    E_MP2_OS = float(jnp.einsum("ijab,ijab,ijab->", g_ijab, g_ijab, e_ijab, optimize=True))
-    E_MP2_SS = float(jnp.einsum("ijab,ijab,ijab->", g_ijab, g_ijab_asym, e_ijab, optimize=True))
+    E_OS_j, E_SS_j, oo_OS, vv_OS, oo_SS, vv_SS = _restricted_mp2_core(
+        ERI_phys[o, o, v, v], e_ijab, molecule.n_doubly_occ)
+    E_MP2_OS, E_MP2_SS = float(E_OS_j), float(E_SS_j)
     log("     [Done]\n", calculation, 1, silent=silent)
 
     if do_scs:
@@ -207,16 +221,9 @@ def run_restricted_MP2(ERI_MO, epsilons, molecular_orbitals, o, v, X, calculatio
     label = "relaxed" if calculation.relaxed_density else "unrelaxed"
     log(f"\n  Constructing MP2 {label} density... ".ljust(41), calculation, 1, end="", silent=silent)
 
-    t_OS = -2.0 * g_ijab * e_ijab
-    t_SS = g_ijab_asym * e_ijab
-
     n_basis = molecule.n_basis
-    P_OS = jnp.zeros((n_basis, n_basis))
-    P_SS = jnp.zeros((n_basis, n_basis))
-    P_OS = P_OS.at[o, o].add(-0.5 * jnp.einsum("kiab,kjab->ij", t_OS, t_OS, optimize=True))
-    P_OS = P_OS.at[v, v].add(0.5 * jnp.einsum("ijbc,ijac->ab", t_OS, t_OS, optimize=True))
-    P_SS = P_SS.at[o, o].add(-jnp.einsum("kiab,kjab->ij", t_SS, t_SS, optimize=True))
-    P_SS = P_SS.at[v, v].add(jnp.einsum("ijbc,ijac->ab", t_SS, t_SS, optimize=True))
+    P_OS = jnp.zeros((n_basis, n_basis)).at[o, o].add(oo_OS).at[v, v].add(vv_OS)
+    P_SS = jnp.zeros((n_basis, n_basis)).at[o, o].add(oo_SS).at[v, v].add(vv_SS)
 
     if calculation.relaxed_density:
         w_OS = 2.0 * g_ijab * e_ijab
@@ -380,6 +387,24 @@ def run_unrestricted_MP2(molecule, calculation, SCF_output, n_SO, o,
 # MP3
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("n_occ",))
+def _restricted_mp3_core(g, e_ijab, n_occ):
+    """Jitted MP3: amplitudes, multipliers and the third-order energy."""
+    n = g.shape[0]
+    o = slice(None, n_occ)
+    v = slice(n_occ, None)
+    L = 2 * g - g.transpose(0, 3, 2, 1)
+    t_ijab = jnp.einsum("ijab,aibj->ijab", e_ijab, g[v, o, v, o], optimize=True)
+    t_dash_ijab = 2 * jnp.einsum("ijab,iajb->ijab", e_ijab, L[o, v, o, v], optimize=True)
+    X_ijab = (0.5 * jnp.einsum("ijcd,acbd->ijab", t_ijab, g[v, v, v, v], optimize=True)
+              + 0.5 * jnp.einsum("klab,kilj->ijab", t_ijab, g[o, o, o, o], optimize=True))
+    X_ijab += (jnp.einsum("ikac,bjkc->ijab", t_ijab, L[v, o, o, v], optimize=True)
+               - jnp.einsum("kjac,bcki->ijab", t_ijab, g[v, v, o, o], optimize=True)
+               - jnp.einsum("kiac,bjkc->ijab", t_ijab, g[v, o, o, v], optimize=True))
+    E_MP3 = jnp.einsum("ijab,ijab->", t_dash_ijab, X_ijab, optimize=True)
+    return E_MP3, e_ijab, t_ijab, t_dash_ijab, L
+
+
 def run_restricted_MP3(calculation, ERI_MO, epsilons, E_MP2, o, v, silent=False):
     log_spacer(calculation, silent=silent, start="\n")
     log("                      MP3 Energy  ", calculation, 1, silent=silent)
@@ -387,19 +412,12 @@ def run_restricted_MP3(calculation, ERI_MO, epsilons, E_MP2, o, v, silent=False)
     log("  Calculating amplitudes and multipliers...  ", calculation, 1, end="", silent=silent)
 
     g = ERI_MO  # chemists' notation throughout (Helgaker convention)
-    L = 2 * g - g.transpose(0, 3, 2, 1)
     e_ijab = transforms.doubles_epsilons(epsilons, epsilons, o, o, v, v)
-    t_ijab = jnp.einsum("ijab,aibj->ijab", e_ijab, g[v, o, v, o], optimize=True)
-    t_dash_ijab = 2 * jnp.einsum("ijab,iajb->ijab", e_ijab, L[o, v, o, v], optimize=True)
+    E_MP3_j, e_ijab, t_ijab, t_dash_ijab, L = _restricted_mp3_core(g, e_ijab,
+                                                                   o.stop - (o.start or 0))
     log("[Done]", calculation, 1, silent=silent)
-
     log("  Calculating MP3 correlation energy...      ", calculation, 1, end="", silent=silent)
-    X_ijab = (0.5 * jnp.einsum("ijcd,acbd->ijab", t_ijab, g[v, v, v, v], optimize=True)
-              + 0.5 * jnp.einsum("klab,kilj->ijab", t_ijab, g[o, o, o, o], optimize=True))
-    X_ijab += (jnp.einsum("ikac,bjkc->ijab", t_ijab, L[v, o, o, v], optimize=True)
-               - jnp.einsum("kjac,bcki->ijab", t_ijab, g[v, v, o, o], optimize=True)
-               - jnp.einsum("kiac,bjkc->ijab", t_ijab, g[v, o, o, v], optimize=True))
-    E_MP3 = float(jnp.einsum("ijab,ijab->", t_dash_ijab, X_ijab, optimize=True))
+    E_MP3 = float(E_MP3_j)
     log(f"[Done]\n\n  MP3 correlation energy:             {E_MP3:13.10f}",
         calculation, 1, silent=silent)
 
