@@ -24,6 +24,10 @@ _jax.config.update("jax_enable_x64", True)
 _cache_dir = _os.environ.get(
     "TUNA_TPU_COMPILE_CACHE",
     str(_pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
+# CPU executables are machine-feature-specific (AOT loads can SIGILL across
+# heterogeneous hosts); only accelerator compiles are worth persisting.
+if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    _cache_dir = None
 if _cache_dir and _cache_dir != "0":
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

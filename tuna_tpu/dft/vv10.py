@@ -1,18 +1,53 @@
 """VV10 non-local dispersion energy (Vydrov-Van Voorhis 2010).
 
-Parity with tuna_dft.py:901-1063.  The O(G^2) pair kernel runs as one
-vectorised contraction on device over the density-masked grid (the reference
-blocks it in 192-point chunks for CPU cache reasons; on TPU a single batched
-evaluation with a fixed masked size maps better onto the hardware).
+Parity with tuna_dft.py:901-1063.  The O(G^2) pair kernel runs on device as
+a row-blocked lax.scan (bounding memory to chunk x G instead of G x G, the
+TPU analogue of the reference's 192-point CPU blocking), over a
+density-masked grid padded to a fixed bucket size so the compiled kernel is
+reused across geometries (no per-geometry retrace).
 """
 
 from __future__ import annotations
 
-import numpy as np
+from functools import partial
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..output import log, log_spacer, timer
 from .grid import construct_density_on_grid
+
+_BUCKET = 2048
+_ROW_CHUNK = 512
+
+
+@partial(jax.jit, static_argnames=("n_points",))
+def _vv10_kernel(density, w, sigma, pts, b, C, n_points):
+    """Blocked VV10 double integral over a fixed-size padded grid."""
+    weighted_density = density * w
+    s_over_n2 = sigma / (density * density)
+    omega = jnp.sqrt(C * s_over_n2 * s_over_n2 + (4.0 / 3.0) * jnp.pi * density)
+    kappa = 1.5 * jnp.pi * b * (density / (9.0 * jnp.pi)) ** (1.0 / 6.0)
+
+    n_chunks = n_points // _ROW_CHUNK
+    pts_rows = pts.reshape(n_chunks, _ROW_CHUNK, 3)
+    omega_rows = omega.reshape(n_chunks, _ROW_CHUNK)
+    kappa_rows = kappa.reshape(n_chunks, _ROW_CHUNK)
+
+    def chunk(carry, row):
+        pts_r, omega_r, kappa_r = row
+        d2 = jnp.sum((pts_r[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+        g_i = d2 * omega_r[:, None] + kappa_r[:, None]
+        g_j = d2 * omega[None, :] + kappa[None, :]
+        kernel = -1.5 / (g_i * g_j * (g_i + g_j))
+        return carry, kernel @ weighted_density
+
+    _, inner_rows = jax.lax.scan(chunk, 0.0, (pts_rows, omega_rows, kappa_rows))
+    inner = inner_rows.reshape(n_points)
+
+    beta = (1.0 / 32.0) * (3.0 / b**2) ** (3.0 / 4.0)
+    return weighted_density @ (beta + 0.5 * inner)
 
 
 def calculate_VV10_energy(P, grid_container, calculation, silent):
@@ -36,29 +71,24 @@ def calculate_VV10_energy(P, grid_container, calculation, silent):
     sigma_full = np.asarray(jnp.sum(gradient * gradient, axis=0)).ravel()
 
     mask = density_full > 1e-10
-    density = density_full[mask]
-    w = np.asarray(weights).ravel()[mask]
-    sigma = sigma_full[mask]
-    pts = np.asarray(points).reshape(3, -1).T[mask]
+    m = int(np.sum(mask))
+    # pad the active set to a fixed bucket so the kernel compiles once
+    n_points = max(_ROW_CHUNK, -(-m // _BUCKET) * _BUCKET)
 
-    density = jnp.asarray(density)
-    w = jnp.asarray(w)
-    sigma = jnp.asarray(sigma)
-    pts = jnp.asarray(pts)
+    def padded(values, fill):
+        out = np.full(n_points, fill, dtype=np.float64)
+        out[:m] = values[mask]
+        return jnp.asarray(out)
 
-    weighted_density = density * w
-    s_over_n2 = sigma / (density * density)
-    omega = jnp.sqrt(C * s_over_n2 * s_over_n2 + (4 / 3) * jnp.pi * density)
-    kappa = 1.5 * jnp.pi * b * (density / (9 * jnp.pi)) ** (1 / 6)
+    density = padded(density_full, 1.0)
+    w = padded(np.asarray(weights).ravel(), 0.0)   # zero weight kills padding
+    sigma = padded(sigma_full, 0.0)
+    pts_np = np.zeros((n_points, 3))
+    pts_np[:m] = np.asarray(points).reshape(3, -1).T[mask]
+    pts = jnp.asarray(pts_np)
 
-    d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
-    g_i = d2 * omega[:, None] + kappa[:, None]
-    g_j = d2 * omega[None, :] + kappa[None, :]
-    kernel = -1.5 / (g_i * g_j * (g_i + g_j))
-    inner_integral = kernel @ weighted_density
-
-    beta = (1 / 32) * (3 / b**2) ** (3 / 4)
-    E_VV10 = float(weighted_density @ (beta + 0.5 * inner_integral)) * functional.VV10_scaling
+    E_VV10 = float(_vv10_kernel(density, w, sigma, pts, b, C, n_points))
+    E_VV10 *= functional.VV10_scaling
 
     log("[Done]", calculation, 1, silent=silent)
     log(f"\n  Energy from VV10:                {E_VV10:16.10f}", calculation, 1, silent=silent)
