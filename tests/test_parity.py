@@ -109,3 +109,18 @@ def test_uccsdt_equals_rccsdt():
     E_r = ours("SPE : LI H 1.6 : CCSDT STO-3G : TIGHTSCF")
     E_u = ours("SPE : LI H 1.6 : UCCSDT STO-3G : NOROTATE TIGHTSCF")
     assert abs(E_r - E_u) < 1e-9
+
+
+@pytest.mark.slow
+def test_gate_5_freq_co():
+    """Gate config #5 (FREQ half): harmonic frequency of CO at HF/6-31G."""
+    from tools.reference_oracle import load_reference, reference_calculation
+    _, _, freq_ours, zpe_ours = run("FREQ : C O 1.13 : HF 6-31G",
+                                    suppress_output=True)
+    load_reference()
+    import tuna_freq
+    calculation, symbols, coords = reference_calculation("FREQ : C O 1.13 : HF 6-31G")
+    _, _, freq_ref, zpe_ref = tuna_freq.calculate_harmonic_frequency(
+        calculation, atomic_symbols=symbols, coordinates=coords)
+    assert abs(freq_ours - freq_ref) < 0.5  # per cm, finite-difference noise
+    assert abs(zpe_ours - zpe_ref) < 1e-6

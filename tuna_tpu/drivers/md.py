@@ -38,9 +38,13 @@ def calculate_initial_velocities(masses, requested_temperature, degrees_of_freed
     return velocities
 
 
-def calculate_forces(coordinates, calculation, atomic_symbols, rotation_matrix):
-    """Force along the bond, rotated back to the lab frame."""
-    force = opt.calculate_gradient(coordinates, calculation, atomic_symbols, silent=True)
+def calculate_forces(coordinates, calculation, atomic_symbols, rotation_matrix,
+                     molecule=None, SCF_output=None):
+    """Force along the bond, rotated back to the lab frame (analytic when a
+    converged HF state is supplied, finite differences otherwise)."""
+    force = opt.calculate_gradient(coordinates, calculation, atomic_symbols,
+                                   silent=True, molecule=molecule,
+                                   SCF_output=SCF_output)
     force_3D = np.array([0.0, 0.0, force]) @ rotation_matrix
     return np.array([force_3D, -force_3D])
 
@@ -103,7 +107,8 @@ def run_molecular_dynamics_simulation(calculation, atomic_symbols, coordinates):
         calculation, atomic_symbols, coordinates, silent=True)
     masses = molecule.masses
 
-    forces = calculate_forces(coordinates, calculation, atomic_symbols, np.eye(3))
+    forces = calculate_forces(coordinates, calculation, atomic_symbols, np.eye(3),
+                              molecule=molecule, SCF_output=SCF_output)
     accelerations = calculate_accelerations(forces, masses)
     velocities = calculate_initial_velocities(masses, calculation.temperature,
                                               degrees_of_freedom)
@@ -134,7 +139,8 @@ def run_molecular_dynamics_simulation(calculation, atomic_symbols, coordinates):
             silent=not calculation.additional_print)
 
         forces = calculate_forces(aligned_coordinates, calculation, atomic_symbols,
-                                  rotation_matrix)
+                                  rotation_matrix, molecule=molecule,
+                                  SCF_output=SCF_output)
         accelerations_new = calculate_accelerations(forces, masses)
         velocities = velocities + 0.5 * timestep_au * (accelerations + accelerations_new)
         accelerations = accelerations_new
