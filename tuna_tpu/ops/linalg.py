@@ -68,6 +68,41 @@ def solve_symmetric(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-14):
     return x, ok
 
 
+def solve_linear_small(A: jnp.ndarray, b: jnp.ndarray):
+    """Dense solve for small in-loop systems (DIIS) by Gaussian elimination
+    with partial pivoting in pure vector ops.
+
+    On TPU there is no f64 LAPACK; the eigh-based route works but costs many
+    emulated-f64 matmul passes per call, which dominates tiny solver loops.
+    For an n x n system this is n fori steps of O(n^2) elementwise work.
+    Returns (x, ok); a singular pivot propagates non-finites, so ok doubles
+    as the DIIS reset signal.
+    """
+    n = A.shape[0]
+    M = jnp.concatenate([A, b[:, None]], axis=1)
+    rows = jnp.arange(n)
+
+    def eliminate(k, M):
+        col = jnp.where(rows < k, -1.0, jnp.abs(M[:, k]))
+        p = jnp.argmax(col)
+        row_k, row_p = M[k], M[p]
+        M = M.at[k].set(row_p).at[p].set(row_k)
+        factors = jnp.where(rows > k, M[:, k] / M[k, k], 0.0)
+        return M - factors[:, None] * M[k][None, :]
+
+    M = jax.lax.fori_loop(0, n, eliminate, M)
+
+    def back_substitute(i, x):
+        idx = n - 1 - i
+        xi = (M[idx, n] - jnp.dot(M[idx, :n], x)) / M[idx, idx]
+        return x.at[idx].set(xi)
+
+    x = jax.lax.fori_loop(0, n, back_substitute, jnp.zeros(n, dtype=A.dtype))
+    residual = jnp.linalg.norm(A @ x - b)
+    ok = jnp.isfinite(residual) & (residual < 1e-8 * (1.0 + jnp.linalg.norm(b)))
+    return x, ok
+
+
 def inverse_sqrt(S: jnp.ndarray, eigenvalues: jnp.ndarray | None = None,
                  ns_steps: int = _NS_STEPS):
     """S^-1/2 for SPD S via eigh seed + Newton-Schulz refinement.

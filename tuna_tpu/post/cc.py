@@ -615,7 +615,7 @@ def _diis_coefficients(err_buf, n_valid, M):
     A = A.at[:M, M].set(jnp.where(valid, -1.0, 0.0))
     A = A.at[M, :M].set(jnp.where(valid, -1.0, 0.0))
     rhs = jnp.zeros(M + 1, dtype=dtype).at[M].set(-1.0)
-    coeffs, ok = linalg.solve_symmetric(A, rhs)
+    coeffs, ok = linalg.solve_linear_small(A, rhs)
     coeffs = jnp.where(valid, coeffs[:M], 0.0)
     return ok & jnp.all(jnp.isfinite(coeffs)), coeffs
 

@@ -155,7 +155,7 @@ def _diis_extrapolate(fock_buf, err_buf, n_valid, X, settings: SCFSettings):
     Bfull = Bfull.at[:M, M].set(jnp.where(valid, -1.0, 0.0))
     Bfull = Bfull.at[M, :M].set(jnp.where(valid, -1.0, 0.0))
     rhs = jnp.zeros(M + 1, dtype=dtype).at[M].set(-1.0)
-    coeffs, ok = linalg.solve_symmetric(Bfull, rhs)
+    coeffs, ok = linalg.solve_linear_small(Bfull, rhs)
     coeffs = jnp.where(valid, coeffs[:M], 0.0)
     ok = ok & jnp.all(jnp.isfinite(coeffs))
     F_a = jnp.einsum("m,mij->ij", coeffs, fock_buf[:, 0])
