@@ -80,23 +80,30 @@ def measure_ours():
     dummy = jnp.zeros((1, 1))
     d3 = jnp.zeros((1,))
 
+    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+    args32 = tuple(f32(x) for x in (g, F, d1, d2, t1_0, t2_0))
+
     def run_solver():
-        out = solver(g, F, d1, d2, t1_0, t2_0, dummy, dummy, dummy, d3,
+        """Two-phase solve: f32 warmup to ~1e-5, f64 refinement to target."""
+        warm = solver(*args32, f32(dummy), f32(dummy), f32(dummy), f32(d3),
+                      1e-6, 1e-4)
+        t1_w = jnp.asarray(warm[4], dtype=t1_0.dtype)
+        t2_w = jnp.asarray(warm[5], dtype=t2_0.dtype)
+        out = solver(g, F, d1, d2, t1_w, t2_w, dummy, dummy, dummy, d3,
                      cfg.energy_convergence, cfg.amp_conv)
         jax.block_until_ready(out)
-        return out
+        return int(warm[0]) + int(out[0]), out
 
     t0 = time.perf_counter()
-    out = run_solver()
+    n_iter, out = run_solver()
     note(f"CCSD solve (cold, incl. compile): {time.perf_counter() - t0:.2f}s, "
-         f"{int(out[0])} iterations, E_corr = {float(out[3]):.10f}")
+         f"{n_iter} iterations, E_corr = {float(out[3]):.10f}")
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run_solver()
+        n_iter, out = run_solver()
         times.append(time.perf_counter() - t0)
-    n_iter = int(out[0])
     ccsd_per_iter = min(times) / n_iter
     note(f"CCSD solve (warm): {min(times):.3f}s / {n_iter} iterations "
          f"= {ccsd_per_iter * 1e3:.2f} ms/iter")

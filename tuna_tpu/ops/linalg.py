@@ -103,6 +103,22 @@ def solve_linear_small(A: jnp.ndarray, b: jnp.ndarray):
     return x, ok
 
 
+def expm_skew(K: jnp.ndarray):
+    """exp(K) for skew-symmetric K (orbital rotations) via eigh of -K^2.
+
+    -K^2 is symmetric PSD with eigenpairs (theta^2, V); on each invariant
+    plane exp(K) = cos(theta) + K sinc(theta).  TPU-safe (no f64 LU/Pade)
+    and jittable, unlike jax.scipy.linalg.expm.
+    """
+    A = -K @ K
+    w, V = eigh(A)
+    theta = jnp.sqrt(jnp.maximum(w, 0.0))
+    cos_term = (V * jnp.cos(theta)) @ V.T
+    safe = theta > 1e-12
+    sinc = jnp.where(safe, jnp.sin(theta) / jnp.where(safe, theta, 1.0), 1.0)
+    return cos_term + K @ ((V * sinc) @ V.T)
+
+
 def inverse_sqrt(S: jnp.ndarray, eigenvalues: jnp.ndarray | None = None,
                  ns_steps: int = _NS_STEPS):
     """S^-1/2 for SPD S via eigh seed + Newton-Schulz refinement.

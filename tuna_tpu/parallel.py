@@ -1,0 +1,111 @@
+"""Multi-device execution: batched geometries sharded over a jax.sharding.Mesh.
+
+The natural data axis for diatomics is the geometry batch -- PES scans,
+finite-difference stencils, MD ensembles (SURVEY.md section 2.3).  Here the
+whole mean-field pipeline (on-device integrals -> jitted SCF while_loop) is
+vmapped over a batch of bond lengths and the batch axis is sharded over the
+"dp" mesh axis, so every chip solves its own geometries with one compiled
+executable and XLA/GSPMD places the data.  This is an upgrade over the
+single-process reference, which walks scan points serially
+(tuna_energy.py:975-1085).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from .drivers import common
+from .ops import linalg
+from .scf import SCFSettings, get_scf_kernel
+from .system import Molecule
+
+
+def device_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def _batched_inputs(calculation, atomic_symbols, bond_lengths):
+    """Per-geometry integrals, orthogonalisers and core guesses, stacked."""
+    mats = {"T": [], "V": [], "ERI": [], "S": [], "X": [], "Pa": [], "Pb": [],
+            "V_NN": []}
+    molecule = None
+    for R in bond_lengths:
+        coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, float(R)]])
+        molecule = Molecule(list(atomic_symbols), coords, calculation)
+        integrals = common.calculate_analytical_integrals(molecule, calculation, True)
+        molecule.process_basis_functions(calculation, int(integrals.n_basis))
+        X, _, _ = common.calculate_orthogonalisation_matrix(integrals.S, calculation, True)
+
+        H = np.asarray(integrals.T) + np.asarray(integrals.V_NE)
+        Xn = np.asarray(X)
+        _, C0 = np.linalg.eigh(Xn.T @ H @ Xn)
+        C0 = Xn @ C0
+        P_a = C0[:, :molecule.n_alpha] @ C0[:, :molecule.n_alpha].T
+        P_b = C0[:, :molecule.n_beta] @ C0[:, :molecule.n_beta].T
+
+        mats["T"].append(np.asarray(integrals.T))
+        mats["V"].append(np.asarray(integrals.V_NE))
+        mats["ERI"].append(np.asarray(integrals.ERI_AO))
+        mats["S"].append(np.asarray(integrals.S))
+        mats["X"].append(Xn)
+        mats["Pa"].append(P_a)
+        mats["Pb"].append(P_b)
+        mats["V_NN"].append(float(np.prod([float(c) for c in molecule.charges]))
+                            / float(R))
+    stacked = {k: jnp.asarray(np.stack(vs)) for k, vs in mats.items()}
+    return molecule, stacked
+
+
+def scan_energies_parallel(calculation, atomic_symbols, bond_lengths,
+                           mesh: Mesh | None = None):
+    """Converged SCF energies for a batch of bond lengths, data-parallel.
+
+    Restricted to mean-field methods (HF/DFT-free path); each geometry runs
+    the full jitted SCF while_loop, vmapped in lockstep and sharded over the
+    mesh's first axis.  Returns total energies (electronic + V_NN).
+    """
+    if mesh is None:
+        mesh = device_mesh()
+
+    molecule, batch = _batched_inputs(calculation, atomic_symbols, bond_lengths)
+    settings = SCFSettings(
+        reference=calculation.reference,
+        n_basis=int(batch["S"].shape[-1]),
+        n_alpha=molecule.n_alpha, n_beta=molecule.n_beta,
+        max_iter=calculation.max_iter,
+        use_diis=bool(calculation.DIIS),
+        max_diis=int(calculation.max_DIIS_matrices),
+        use_damping=bool(calculation.damping),
+        dynamic_damping=calculation.damping_factor is None,
+        partition_0=int(molecule.partition_ranges[0]),
+        n_atoms=molecule.n_atoms)
+    kernel = get_scf_kernel(settings)
+
+    conv = calculation.SCF_conv
+    static_damping = calculation.damping_factor or 0.0
+    zeros = jnp.zeros_like(batch["S"])
+
+    def solve_one(T, V, ERI, S, X, Pa, Pb):
+        n_steps, converged, E, *_ = kernel(
+            T, V, ERI, S, X, zeros[0], zeros[0], Pa, Pb, 0.0,
+            calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
+            conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
+            static_damping, calculation.max_damping)
+        return E, converged
+
+    axis = mesh.axis_names[0]
+    shard_mat = NamedSharding(mesh, PartitionSpec(axis))
+    batched = jax.jit(
+        jax.vmap(solve_one),
+        in_shardings=(shard_mat,) * 7,
+        out_shardings=(NamedSharding(mesh, PartitionSpec(axis)),) * 2)
+
+    energies, converged = batched(batch["T"], batch["V"], batch["ERI"],
+                                  batch["S"], batch["X"], batch["Pa"],
+                                  batch["Pb"])
+    return np.asarray(energies) + np.asarray(batch["V_NN"]), np.asarray(converged)

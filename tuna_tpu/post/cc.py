@@ -808,6 +808,26 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
         F = F[o.start:, o.start:]
 
     solver = get_cc_solver(settings)
+
+    # Two-phase precision: on accelerators, f64 is emulated (~6 passes per
+    # dot), so warm up the amplitudes in native f32 to ~1e-5 and let the f64
+    # loop only do the final refinement -- the converged fixed point is
+    # identical, the wall time is not.
+    n_warm = 0
+    if jax.default_backend() != "cpu" and base_name not in ("CC2", "CC3"):
+        f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+        (n_warm, warm_conv, warm_failed, _, t1_w, t2_w, _, _) = solver(
+            f32(g), f32(F), f32(d1), f32(d2), f32(t_ia), f32(t_ijab),
+            f32(ERI_AO), f32(C), f32(H_core), f32(d3), 1e-6, 1e-4)
+        n_warm = int(n_warm)
+        if bool(warm_conv) and not bool(warm_failed):
+            log(f"  (Warmed up amplitudes with {n_warm} single-precision "
+                "iterations)", calculation, 3, silent=silent)
+            t_ia = jnp.asarray(t1_w, dtype=t_ia.dtype)
+            t_ijab = jnp.asarray(t2_w, dtype=t_ijab.dtype)
+        else:
+            n_warm = 0
+
     (n_steps, converged, failed, E_CC, t1, t2, stats, parts) = solver(
         g, F, d1, d2, t_ia, t_ijab, ERI_AO, C, H_core, d3,
         calculation.energy_convergence, calculation.amp_conv)

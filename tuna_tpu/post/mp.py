@@ -648,9 +648,8 @@ def run_iterative_restricted_MP2(ERI_MO, epsilons, molecular_orbitals, o, v,
     epsilons, _ = diagonalise_fock(F_AO, X)
     e_ijab = transforms.doubles_epsilons(epsilons, epsilons, o, o, v, v)
 
-    t_ijab = jnp.zeros_like(g[o, o, v, v])
-    E_MP2 = 0.0
     E_conv = calculation.energy_convergence
+    max_iter = int(calculation.correlated_max_iter)
 
     log_spacer(calculation, silent=silent, start="\n")
     log("           Iterative MP2 Energy and Density ", calculation, 1, silent=silent)
@@ -661,23 +660,44 @@ def run_iterative_restricted_MP2(ERI_MO, epsilons, molecular_orbitals, o, v,
     log("  Step          Correlation E               DE", calculation, 1, silent=silent)
     log_spacer(calculation, silent=silent)
 
-    for step in range(1, calculation.correlated_max_iter + 1):
-        E_old = E_MP2
-        R = g[o, o, v, v] + jnp.einsum("ap,ijpq,qb->ijab", F_MO[v, v], t_ijab, S_MO[v, v], optimize=True)
-        R += jnp.einsum("ap,ijpq,qb->ijab", S_MO[v, v], t_ijab, F_MO[v, v], optimize=True)
-        R += -jnp.einsum("ap,ik,kjpq,qb->ijab", S_MO[v, v], F_MO[o, o], t_ijab, S_MO[v, v], optimize=True)
-        R += -jnp.einsum("ap,kj,ikpq,qb->ijab", S_MO[v, v], F_MO[o, o], t_ijab, S_MO[v, v], optimize=True)
-        t_ijab = t_ijab + R * e_ijab
-        e_ij = jnp.einsum("ijab,ijab->ij", g[o, o, v, v] + R,
-                          4 * t_ijab - 2 * t_ijab.swapaxes(0, 1), optimize=True)
-        E_MP2 = 0.5 * float(jnp.sum(e_ij))
-        delta_E = abs(E_MP2 - E_old)
-        log(f"  {step:3.0f}           {E_MP2:13.10f}         {delta_E:13.10f}",
+    g_oovv = g[o, o, v, v]
+    Fvv, Foo, Svv = F_MO[v, v], F_MO[o, o], S_MO[v, v]
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def imp2_solve(g_oovv, Fvv, Foo, Svv, e_ijab, n_steps):
+        def body(carry):
+            step, E, t_ijab, conv, stats = carry
+            R = g_oovv + jnp.einsum("ap,ijpq,qb->ijab", Fvv, t_ijab, Svv, optimize=True)
+            R += jnp.einsum("ap,ijpq,qb->ijab", Svv, t_ijab, Fvv, optimize=True)
+            R += -jnp.einsum("ap,ik,kjpq,qb->ijab", Svv, Foo, t_ijab, Svv, optimize=True)
+            R += -jnp.einsum("ap,kj,ikpq,qb->ijab", Svv, Foo, t_ijab, Svv, optimize=True)
+            t_new = t_ijab + R * e_ijab
+            E_new = 0.5 * jnp.sum(jnp.einsum(
+                "ijab,ijab->ij", g_oovv + R,
+                4 * t_new - 2 * t_new.swapaxes(0, 1), optimize=True))
+            dE = jnp.abs(E_new - E)
+            stats = stats.at[step - 1].set(jnp.stack([E_new, dE]))
+            return step + 1, E_new, t_new, dE < E_conv, stats
+
+        def cond(carry):
+            return (carry[0] <= n_steps) & ~carry[3]
+
+        stats0 = jnp.zeros((n_steps, 2), dtype=g_oovv.dtype)
+        carry0 = (jnp.asarray(1), jnp.asarray(0.0, dtype=g_oovv.dtype),
+                  jnp.zeros_like(g_oovv), jnp.asarray(False), stats0)
+        step, E, t_ijab, conv, stats = jax.lax.while_loop(cond, body, carry0)
+        return step - 1, E, t_ijab, conv, stats
+
+    n_steps, E_j, t_ijab, converged, stats = imp2_solve(g_oovv, Fvv, Foo, Svv,
+                                                        e_ijab, max_iter)
+    n_steps = int(n_steps)
+    stats = np.asarray(stats)
+    for i in range(n_steps):
+        log(f"  {i + 1:3.0f}           {stats[i, 0]:13.10f}         {stats[i, 1]:13.10f}",
             calculation, 1, silent=silent)
-        if delta_E < E_conv:
-            break
-        if step >= calculation.correlated_max_iter:
-            error("Iterative MP2 failed to converge! Try increasing the maximum iterations?")
+    if not bool(converged):
+        error("Iterative MP2 failed to converge! Try increasing the maximum iterations?")
+    E_MP2 = float(E_j)
 
     log_spacer(calculation, silent=silent)
     log(f"\n  MP2 correlation energy:             {E_MP2:.10f}", calculation, 1, silent=silent)
@@ -702,10 +722,7 @@ def run_iterative_restricted_MP2(ERI_MO, epsilons, molecular_orbitals, o, v,
 
 def run_orbital_optimised_MP2(molecule, calculation, g, C_spin_block, H_core, V_NN,
                               n_SO, X, E_HF, ERI_spin_block, o, v, silent=False):
-    import jax.scipy.linalg as jsl
-
     n_occ = molecule.n_occ
-    n_virt = molecule.n_virt
 
     log_spacer(calculation, silent=silent, start="\n")
     log("      Orbital-optimised MP2 Energy and Density ", calculation, 1, silent=silent)
@@ -717,73 +734,92 @@ def run_orbital_optimised_MP2(molecule, calculation, g, C_spin_block, H_core, V_
     log("  Step          Correlation E               DE", calculation, 1, silent=silent)
     log_spacer(calculation, silent=silent)
 
-    E_OMP2_old = 0.0
     n = jnp.newaxis
-
     H_core_sb = transforms.spin_block_matrix(jnp.asarray(H_core))
-    H_core_SO = transforms.transform_matrix_ao_to_so(H_core_sb, C_spin_block)
-
     P_ref = jnp.zeros((n_SO, n_SO)).at[:n_occ, :n_occ].set(jnp.eye(n_occ))
     n_occ_corr = n_occ - molecule.n_core_spin_orbitals if calculation.freeze_core else n_occ
-    t_abij = jnp.zeros((n_virt, n_virt, n_occ_corr, n_occ_corr))
-
-    natural_occ, naturals = None, None
     o_full = slice(0, n_occ)
-    E_OMP2 = 0.0
+    max_iter = int(calculation.correlated_max_iter)
+    E_conv = calculation.energy_convergence
 
-    for iteration in range(1, calculation.correlated_max_iter + 1):
-        F = transforms.spin_orbital_fock(H_core_SO, g, o_full)
-        F_prime = F - jnp.diag(jnp.diagonal(F))
-        epsilons = jnp.diagonal(F)
+    from ..ops.linalg import expm_skew
 
-        t_1 = g[v, v, o, o]
-        t_2 = jnp.einsum("ac,cbij->abij", F_prime[v, v], t_abij, optimize=True)
-        t_3 = jnp.einsum("ki,abkj->abij", F_prime[o, o], t_abij, optimize=True)
-        t_abij = t_1 + t_2 - t_2.transpose(1, 0, 2, 3) - t_3 + t_3.transpose(0, 1, 3, 2)
-        e_abij = transforms.doubles_epsilons(epsilons, epsilons, o, o, v, v).transpose(2, 3, 0, 1)
-        t_abij = t_abij * e_abij
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def omp2_solve(C0, t0, ERI_sb, H_sb, E_HF, V_NN, n_steps):
+        def body(carry):
+            step, E_old, C, t_abij, _, _, conv, stats = carry
+            H_core_SO = transforms.transform_matrix_ao_to_so(H_sb, C)
+            ERI_SO = transforms.ao_to_so_physicists(ERI_sb, C, C)
+            g = transforms.antisymmetrise(ERI_SO)
+            F = transforms.spin_orbital_fock(H_core_SO, g, o_full)
+            F_prime = F - jnp.diag(jnp.diagonal(F))
+            epsilons = jnp.diagonal(F)
 
-        P_corr = _t_amplitude_density_contribution(n_SO, t_abij.transpose(2, 3, 0, 1), o, v)
-        P_OMP2 = P_corr + P_ref
+            t_1 = g[v, v, o, o]
+            t_2 = jnp.einsum("ac,cbij->abij", F_prime[v, v], t_abij, optimize=True)
+            t_3 = jnp.einsum("ki,abkj->abij", F_prime[o, o], t_abij, optimize=True)
+            t_new = t_1 + t_2 - t_2.transpose(1, 0, 2, 3) - t_3 + t_3.transpose(0, 1, 3, 2)
+            e_abij = transforms.doubles_epsilons(epsilons, epsilons, o, o, v, v).transpose(2, 3, 0, 1)
+            t_new = t_new * e_abij
 
-        D_corr = jnp.zeros((n_SO, n_SO, n_SO, n_SO))
-        D_corr = D_corr.at[v, v, o, o].set(t_abij)
-        D_corr = D_corr.at[o, o, v, v].set(t_abij.transpose(2, 3, 0, 1))
-        D_2 = jnp.einsum("rp,sq->rspq", P_corr, P_ref, optimize=True)
-        D_3 = jnp.einsum("rp,sq->rspq", P_ref, P_ref, optimize=True)
-        D = (D_corr + D_2 - D_2.transpose(1, 0, 2, 3) - D_2.transpose(0, 1, 3, 2)
-             + D_2.transpose(1, 0, 3, 2) + D_3 - D_3.transpose(1, 0, 2, 3))
+            P_corr = _t_amplitude_density_contribution(n_SO, t_new.transpose(2, 3, 0, 1), o, v)
+            P_OMP2 = P_corr + P_ref
 
-        F_gen = (jnp.einsum("pr,rq->pq", H_core_SO, P_OMP2, optimize=True)
-                 + 0.5 * jnp.einsum("prst,stqr->pq", g, D, optimize=True))
+            D_corr = jnp.zeros((n_SO, n_SO, n_SO, n_SO))
+            D_corr = D_corr.at[v, v, o, o].set(t_new)
+            D_corr = D_corr.at[o, o, v, v].set(t_new.transpose(2, 3, 0, 1))
+            D_2 = jnp.einsum("rp,sq->rspq", P_corr, P_ref, optimize=True)
+            D_3 = jnp.einsum("rp,sq->rspq", P_ref, P_ref, optimize=True)
+            D = (D_corr + D_2 - D_2.transpose(1, 0, 2, 3) - D_2.transpose(0, 1, 3, 2)
+                 + D_2.transpose(1, 0, 3, 2) + D_3 - D_3.transpose(1, 0, 2, 3))
 
-        R = jnp.zeros((n_SO, n_SO))
-        R = R.at[v, o].set((F_gen - F_gen.T)[v, o]
-                           / (epsilons[n, o] - epsilons[v, n]))
-        U = jnp.asarray(_host_expm(R - R.T))
-        C_spin_block = C_spin_block @ U
+            F_gen = (jnp.einsum("pr,rq->pq", H_core_SO, P_OMP2, optimize=True)
+                     + 0.5 * jnp.einsum("prst,stqr->pq", g, D, optimize=True))
 
-        H_core_SO = transforms.transform_matrix_ao_to_so(H_core_sb, C_spin_block)
-        ERI_SO = transforms.ao_to_so_physicists(ERI_spin_block, C_spin_block, C_spin_block)
-        g = transforms.antisymmetrise(ERI_SO)
+            R = jnp.zeros((n_SO, n_SO))
+            R = R.at[v, o].set((F_gen - F_gen.T)[v, o]
+                               / (epsilons[n, o] - epsilons[v, n]))
+            U = expm_skew(R - R.T)
+            C_new = C @ U
 
-        E_total = (V_NN + float(jnp.einsum("ij,ij->", P_OMP2, H_core_SO, optimize=True))
-                   + 0.25 * float(jnp.einsum("ijkl,ijkl->", D, g, optimize=True)))
-        E_OMP2 = E_total - E_HF
-        delta_E = E_OMP2 - E_OMP2_old
-        log(f"  {iteration:3.0f}           {E_OMP2:13.10f}         {delta_E:13.10f}",
+            E_total = (V_NN + jnp.einsum("ij,ij->", P_OMP2, H_core_SO, optimize=True)
+                       + 0.25 * jnp.einsum("ijkl,ijkl->", D, g, optimize=True))
+            E_OMP2 = E_total - E_HF
+            dE = E_OMP2 - E_old
+            stats = stats.at[step - 1].set(jnp.stack([E_OMP2, dE]))
+            return (step + 1, E_OMP2, C_new, t_new, P_corr, E_OMP2,
+                    jnp.abs(dE) < E_conv, stats)
+
+        def cond(carry):
+            return (carry[0] <= n_steps) & ~carry[-2]
+
+        stats0 = jnp.zeros((n_steps, 2))
+        zero_P = jnp.zeros((n_SO, n_SO))
+        carry0 = (jnp.asarray(1), jnp.asarray(0.0), C0, t0, zero_P,
+                  jnp.asarray(0.0), jnp.asarray(False), stats0)
+        out = jax.lax.while_loop(cond, body, carry0)
+        step, _, C, t_abij, P_corr, E_OMP2, conv, stats = out
+        return step - 1, E_OMP2, C, P_corr, conv, stats
+
+    t0 = jnp.zeros((molecule.n_virt, molecule.n_virt, n_occ_corr, n_occ_corr))
+    n_steps, E_j, C_spin_block, P_corr, converged, stats = omp2_solve(
+        jnp.asarray(C_spin_block), t0, jnp.asarray(ERI_spin_block), H_core_sb,
+        float(E_HF), float(V_NN), max_iter)
+
+    n_steps = int(n_steps)
+    stats = np.asarray(stats)
+    for i in range(n_steps):
+        log(f"  {i + 1:3.0f}           {stats[i, 0]:13.10f}         {stats[i, 1]:13.10f}",
             calculation, 1, silent=silent)
-        E_OMP2_old = E_OMP2
-
-        if abs(delta_E) < calculation.energy_convergence:
-            break
-        if iteration >= calculation.correlated_max_iter:
-            error("Orbital-optimised MP2 failed to converge! Try increasing the maximum iterations?")
+    if not bool(converged):
+        error("Orbital-optimised MP2 failed to converge! Try increasing the maximum iterations?")
+    E_OMP2 = float(E_j)
 
     log_spacer(calculation, silent=silent)
     log(f"\n  OMP2 correlation energy:            {E_OMP2:.10f}", calculation, 1, silent=silent)
 
-    P_OMP2_final = P_corr + P_ref
+    natural_occ, naturals = None, None
+    P_OMP2_final = P_corr + jnp.zeros((n_SO, n_SO)).at[:n_occ, :n_occ].set(jnp.eye(n_occ))
     P, P_alpha, P_beta = transforms.density_so_to_ao(P_OMP2_final, C_spin_block, n_SO)
     if calculation.natural_orbitals:
         natural_occ, naturals = print_natural_orbitals(P, X, None, calculation, silent)
