@@ -482,73 +482,83 @@ def second_order_triples_amplitudes(e_ijkabc, t_ijab, g, o, v):
     return _permute_three_columns(t) * e_ijkabc
 
 
+@partial(jax.jit, static_argnames=("n_occ", "with_singles", "with_triples"))
+def _restricted_mp4_core(g, e_ijab, t_ijab, t_dash_ijab, L, epsilons, n_occ,
+                         with_singles, with_triples):
+    """Jitted fourth-order energy components (S, D, T, Q channels)."""
+    o = slice(None, n_occ)
+    v = slice(n_occ, None)
+    zero = jnp.zeros(())
+
+    second_t2 = (-jnp.einsum("ijcd,acbd->ijab", t_ijab, g[v, v, v, v], optimize=True)
+                 - jnp.einsum("klab,kilj->ijab", t_ijab, g[o, o, o, o], optimize=True))
+    inner = (jnp.einsum("ikac,bjkc->ijkabc", t_ijab, L[v, o, o, v], optimize=True)
+             - jnp.einsum("kjac,bcki->ijkabc", t_ijab, g[v, v, o, o], optimize=True)
+             - jnp.einsum("kiac,bjkc->ijkabc", t_ijab, g[v, o, o, v], optimize=True))
+    second_t2 += -_permute_symmetric(jnp.einsum("ijkabc->ijab", inner, optimize=True),
+                                     (0, 1), (2, 3))
+    second_t2 = -second_t2 * e_ijab
+
+    E_S = zero
+    if with_singles:
+        e_ia = transforms.singles_epsilons(epsilons, o, v)
+        second_t1 = (jnp.einsum("klad,kild->ia", t_ijab, L[o, o, o, v], optimize=True)
+                     - jnp.einsum("kicd,adkc->ia", t_ijab, L[v, v, o, v], optimize=True))
+        second_t1 = -second_t1 * e_ia
+        S_channel = (jnp.einsum("jc,aibc->ijab", second_t1, g[v, o, v, v], optimize=True)
+                     - jnp.einsum("kb,aikj->ijab", second_t1, g[v, o, o, o], optimize=True))
+        E_S = jnp.einsum("ijab,ijab->", t_dash_ijab, S_channel, optimize=True)
+
+    D_channel = (0.5 * jnp.einsum("ijcd,acbd->ijab", second_t2, g[v, v, v, v], optimize=True)
+                 + 0.5 * jnp.einsum("klab,kilj->ijab", second_t2, g[o, o, o, o], optimize=True))
+    D_channel += (jnp.einsum("ikac,bjkc->ijab", second_t2, L[v, o, o, v], optimize=True)
+                  - jnp.einsum("kjac,bcki->ijab", second_t2, g[v, v, o, o], optimize=True)
+                  - jnp.einsum("kiac,bjkc->ijab", second_t2, g[v, o, o, v], optimize=True))
+    E_D = jnp.einsum("ijab,ijab->", t_dash_ijab, D_channel, optimize=True)
+
+    E_T = zero
+    if with_triples:
+        e_ijkabc = transforms.triples_epsilons(epsilons, o, v)
+        second_t3 = second_order_triples_amplitudes(e_ijkabc, t_ijab, g, o, v)
+        T_channel = (jnp.einsum("ijkacd,bckd->ijab", second_t3, L[v, v, o, v], optimize=True)
+                     - jnp.einsum("kjiacd,kdbc->ijab", second_t3, g[o, v, v, v], optimize=True))
+        T_channel += (-jnp.einsum("iklabc,kjlc->ijab", second_t3, L[o, o, o, v], optimize=True)
+                      + jnp.einsum("lkiabc,kjlc->ijab", second_t3, g[o, o, o, v], optimize=True))
+        E_T = jnp.einsum("ijab,ijab->", t_dash_ijab, T_channel, optimize=True)
+
+    Q_channel = 0.5 * jnp.einsum("klab,ijkl->ijab", t_ijab,
+                                 jnp.einsum("ijcd,kcld->ijkl", t_ijab, g[o, v, o, v], optimize=True), optimize=True)
+    Q_channel += jnp.einsum("ikac,jkbc->ijab", t_ijab,
+                            jnp.einsum("jlbd,kcld->jkbc", t_ijab - t_ijab.swapaxes(0, 1), L[o, v, o, v], optimize=True), optimize=True)
+    Q_channel += 0.5 * jnp.einsum("kiac,jkbc->ijab", t_ijab,
+                                  jnp.einsum("ljbd,kcld->jkbc", t_ijab, g[o, v, o, v], optimize=True), optimize=True)
+    Q_channel += 0.5 * jnp.einsum("kjad,ikbd->ijab", t_ijab,
+                                  jnp.einsum("libc,kcld->ikbd", t_ijab, g[o, v, o, v], optimize=True), optimize=True)
+    Q_channel += -jnp.einsum("ikab,jk->ijab", t_ijab,
+                             jnp.einsum("ljcd,lckd->jk", t_ijab, L[o, v, o, v], optimize=True), optimize=True)
+    Q_channel += -jnp.einsum("ijac,bc->ijab", t_ijab,
+                             jnp.einsum("klbd,kcld->bc", t_ijab, L[o, v, o, v], optimize=True), optimize=True)
+    E_Q = jnp.einsum("ijab,ijab->", t_dash_ijab, Q_channel, optimize=True)
+    return E_S, E_D, E_T, E_Q
+
+
 def run_restricted_MP4(e_ijab, t_ijab, t_dash_ijab, L, ERI_MO, epsilons, o, v,
                        calculation, silent=False):
-    g = ERI_MO
     name = calculation.method.name
 
     log_spacer(calculation, silent=silent, start="\n")
     log("                      MP4 Energy  ", calculation, 1, silent=silent)
     log_spacer(calculation, silent=silent)
     log("  Calculating amplitudes and multipliers...  ", calculation, 1, end="", silent=silent)
-
-    if name not in ("MP4[DQ]", "MP4(DQ)"):
-        e_ia = transforms.singles_epsilons(epsilons, o, v)
-        t_ia_2 = (jnp.einsum("klad,kild->ia", t_ijab, L[o, o, o, v], optimize=True)
-                  - jnp.einsum("kicd,adkc->ia", t_ijab, L[v, v, o, v], optimize=True))
-        t_ia_2 = -t_ia_2 * e_ia
-
-    t_ijab_2 = (-jnp.einsum("ijcd,acbd->ijab", t_ijab, g[v, v, v, v], optimize=True)
-                - jnp.einsum("klab,kilj->ijab", t_ijab, g[o, o, o, o], optimize=True))
-    inner = (jnp.einsum("ikac,bjkc->ijkabc", t_ijab, L[v, o, o, v], optimize=True)
-             - jnp.einsum("kjac,bcki->ijkabc", t_ijab, g[v, v, o, o], optimize=True)
-             - jnp.einsum("kiac,bjkc->ijkabc", t_ijab, g[v, o, o, v], optimize=True))
-    t_ijab_2 += -_permute_symmetric(jnp.einsum("ijkabc->ijab", inner, optimize=True), (0, 1), (2, 3))
-    t_ijab_2 = -t_ijab_2 * e_ijab
-
-    if name in ("MP4", "MP4[SDTQ]", "MP4(SDTQ)"):
-        e_ijkabc = transforms.triples_epsilons(epsilons, o, v)
-        t_ijkabc_2 = second_order_triples_amplitudes(e_ijkabc, t_ijab, g, o, v)
     log("[Done]", calculation, 1, silent=silent)
-
     log("  Calculating MP4 correlation energy...      ", calculation, 1, end="", silent=silent)
-    if name not in ("MP4[DQ]", "MP4(DQ)"):
-        S_ijab = (jnp.einsum("jc,aibc->ijab", t_ia_2, g[v, o, v, v], optimize=True)
-                  - jnp.einsum("kb,aikj->ijab", t_ia_2, g[v, o, o, o], optimize=True))
-    else:
-        S_ijab = jnp.zeros_like(t_ijab)
 
-    D_ijab = (0.5 * jnp.einsum("ijcd,acbd->ijab", t_ijab_2, g[v, v, v, v], optimize=True)
-              + 0.5 * jnp.einsum("klab,kilj->ijab", t_ijab_2, g[o, o, o, o], optimize=True))
-    D_ijab += (jnp.einsum("ikac,bjkc->ijab", t_ijab_2, L[v, o, o, v], optimize=True)
-               - jnp.einsum("kjac,bcki->ijab", t_ijab_2, g[v, v, o, o], optimize=True)
-               - jnp.einsum("kiac,bjkc->ijab", t_ijab_2, g[v, o, o, v], optimize=True))
-
-    if name in ("MP4", "MP4[SDTQ]", "MP4(SDTQ)"):
-        T_ijab = (jnp.einsum("ijkacd,bckd->ijab", t_ijkabc_2, L[v, v, o, v], optimize=True)
-                  - jnp.einsum("kjiacd,kdbc->ijab", t_ijkabc_2, g[o, v, v, v], optimize=True))
-        T_ijab += (-jnp.einsum("iklabc,kjlc->ijab", t_ijkabc_2, L[o, o, o, v], optimize=True)
-                   + jnp.einsum("lkiabc,kjlc->ijab", t_ijkabc_2, g[o, o, o, v], optimize=True))
-    else:
-        T_ijab = jnp.zeros_like(t_ijab)
-
-    Q_ijab = 0.5 * jnp.einsum("klab,ijkl->ijab", t_ijab,
-                              jnp.einsum("ijcd,kcld->ijkl", t_ijab, g[o, v, o, v], optimize=True), optimize=True)
-    Q_ijab += jnp.einsum("ikac,jkbc->ijab", t_ijab,
-                         jnp.einsum("jlbd,kcld->jkbc", t_ijab - t_ijab.swapaxes(0, 1), L[o, v, o, v], optimize=True), optimize=True)
-    Q_ijab += 0.5 * jnp.einsum("kiac,jkbc->ijab", t_ijab,
-                               jnp.einsum("ljbd,kcld->jkbc", t_ijab, g[o, v, o, v], optimize=True), optimize=True)
-    Q_ijab += 0.5 * jnp.einsum("kjad,ikbd->ijab", t_ijab,
-                               jnp.einsum("libc,kcld->ikbd", t_ijab, g[o, v, o, v], optimize=True), optimize=True)
-    Q_ijab += -jnp.einsum("ikab,jk->ijab", t_ijab,
-                          jnp.einsum("ljcd,lckd->jk", t_ijab, L[o, v, o, v], optimize=True), optimize=True)
-    Q_ijab += -jnp.einsum("ijac,bc->ijab", t_ijab,
-                          jnp.einsum("klbd,kcld->bc", t_ijab, L[o, v, o, v], optimize=True), optimize=True)
-
-    E_MP4_S = float(jnp.einsum("ijab,ijab->", t_dash_ijab, S_ijab, optimize=True))
-    E_MP4_D = float(jnp.einsum("ijab,ijab->", t_dash_ijab, D_ijab, optimize=True))
-    E_MP4_T = float(jnp.einsum("ijab,ijab->", t_dash_ijab, T_ijab, optimize=True))
-    E_MP4_Q = float(jnp.einsum("ijab,ijab->", t_dash_ijab, Q_ijab, optimize=True))
+    with_singles = name not in ("MP4[DQ]", "MP4(DQ)")
+    with_triples = name in ("MP4", "MP4[SDTQ]", "MP4(SDTQ)")
+    E_S, E_D, E_T, E_Q = _restricted_mp4_core(
+        jnp.asarray(ERI_MO), e_ijab, t_ijab, t_dash_ijab, L,
+        jnp.asarray(epsilons), o.stop - (o.start or 0), with_singles, with_triples)
+    E_MP4_S, E_MP4_D, E_MP4_T, E_MP4_Q = (float(E_S), float(E_D), float(E_T), float(E_Q))
     E_MP4 = E_MP4_S + E_MP4_D + E_MP4_T + E_MP4_Q
     log("[Done]\n", calculation, 1, silent=silent)
 
