@@ -98,3 +98,18 @@ def test_optfreq_b3lyp_gate():
     """Gate config #3: OPT at B3LYP/6-31G converges."""
     molecule, energy = run("OPT : H H 1.0 : B3LYP 6-31G", suppress_output=True)
     assert abs(molecule.bond_length - 1.404) < 5e-2
+
+
+def test_ea_runs():
+    result = run("EA : LI H 1.6 : HF STO-3G", suppress_output=True)
+    assert result is not None
+
+
+@pytest.mark.slow
+def test_anharm_h2():
+    """ANHARM: optimise, harmonic, then anharmonic PES solve."""
+    from tuna_tpu import constants
+    levels = run("ANHARM : H H 0.74 : HF STO-3G", suppress_output=True)
+    fundamental = (levels[1] - levels[0]) * constants.PER_CM_IN_HARTREE
+    # anharmonic fundamental lies below the harmonic frequency (~5480)
+    assert 4500 < fundamental < 5480
