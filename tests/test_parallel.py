@@ -31,3 +31,29 @@ def test_sharded_scan_matches_serial():
         line = f"SPE : H H {R * 0.529177210544:.12f} : HF STO-3G : EXTREMESCF"
         E_serial = run(line, suppress_output=True)[2]
         assert abs(E_batch - E_serial) < 1e-8, (R, E_batch, E_serial)
+
+
+@pytest.mark.smoke
+def test_sharded_fock_build_matches_dense():
+    """ERI sharded over 8 chips: J/K from shard_map + all_gather match the
+    single-device einsums."""
+    import jax
+    import jax.numpy as jnp
+    from tuna_tpu import parallel
+    from tuna_tpu.scf import coulomb_matrix, exchange_matrix
+
+    rng = np.random.default_rng(0)
+    n = 16
+    A = rng.standard_normal((n, n, n, n))
+    # 8-fold permutational symmetry like a real ERI
+    ERI = A + A.transpose(1, 0, 2, 3) + A.transpose(0, 1, 3, 2) + A.transpose(1, 0, 3, 2)
+    ERI = ERI + ERI.transpose(2, 3, 0, 1)
+    P = rng.standard_normal((n, n))
+    P = P + P.T
+
+    mesh = parallel.device_mesh(8, axis="tp")
+    J, K = parallel.fock_build_sharded(jnp.asarray(ERI), jnp.asarray(P), mesh)
+    J_ref = coulomb_matrix(jnp.asarray(P), jnp.asarray(ERI))
+    K_ref = exchange_matrix(jnp.asarray(P), jnp.asarray(ERI))
+    assert np.max(np.abs(np.asarray(J) - np.asarray(J_ref))) < 1e-10
+    assert np.max(np.abs(np.asarray(K) - np.asarray(K_ref))) < 1e-10

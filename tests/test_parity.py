@@ -124,3 +124,11 @@ def test_gate_5_freq_co():
         calculation, atomic_symbols=symbols, coordinates=coords)
     assert abs(freq_ours - freq_ref) < 0.5  # per cm, finite-difference noise
     assert abs(zpe_ours - zpe_ref) < 1e-6
+
+
+@pytest.mark.slow
+def test_open_shell_uks_cells():
+    """Spin-polarised UKS (regression for the f(zeta) interpolation fix)."""
+    assert_parity("SPE : LI H 1.6 : UPBE 6-31G : CH 1 ML 2 TIGHTSCF", tol=1e-9)
+    assert_parity("SPE : LI H 1.6 : UTPSS STO-3G : CH 1 ML 2 TIGHTSCF", tol=1e-9)
+    assert_parity("SPE : LI H 1.6 : UB3LYP STO-3G : CH 1 ML 2 TIGHTSCF", tol=1e-9)

@@ -29,6 +29,38 @@ def device_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devices[:n]), (axis,))
 
 
+def fock_build_sharded(ERI, P_total, mesh: Mesh | None = None, axis: str = "tp"):
+    """Coulomb and exchange matrices with the ERI tensor sharded over chips.
+
+    The N^4 ERI is the memory wall for big basis sets (3-32 GB at
+    cc-pV5Z/6Z, reference Manual section 7.2); sharding its first AO axis
+    over the mesh keeps each chip holding N/n_dev * N^3 while J and K rows
+    are produced locally and combined with one all_gather over ICI:
+
+        J_i. = sum_kl (i.|kl) P_kl      (row-local)
+        K_i. = sum_kl (il|k.) P_kl      (row-local in chemists' storage)
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax import lax
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), (axis,))
+    spec_rows = PartitionSpec(axis)
+    spec_full = PartitionSpec()
+
+    def local_rows(ERI_block, P):
+        J_rows = jnp.einsum("ijkl,kl->ij", ERI_block, P, optimize=True)
+        K_rows = jnp.einsum("ilkj,kl->ij", ERI_block, P, optimize=True)
+        stacked = jnp.stack([J_rows, K_rows])
+        gathered = lax.all_gather(stacked, axis, axis=1, tiled=True)
+        return gathered[0], gathered[1]
+
+    return shard_map(local_rows, mesh=mesh,
+                     in_specs=(spec_rows, spec_full),
+                     out_specs=(spec_full, spec_full),
+                     check_rep=False)(ERI, P_total)
+
+
 def _batched_inputs(calculation, atomic_symbols, bond_lengths):
     """Per-geometry integrals, orthogonalisers and core guesses, stacked."""
     mats = {"T": [], "V": [], "ERI": [], "S": [], "X": [], "Pa": [], "Pb": [],
