@@ -224,7 +224,15 @@ class IntegralPlan:
         self.eri_row_chunk = eri_row_chunk
 
         self._one_electron = jax.jit(self._one_electron_impl)
-        self._eri = jax.jit(self._eri_impl)
+        # The TPU runtime faults on the ERI kernel for f-and-higher shells
+        # (observed as "TPU worker process crashed" at lmax >= 3 regardless of
+        # chunk size); generate those integrals on the host CPU backend and
+        # let XLA transfer the tensor -- integral generation is a one-time
+        # cost per geometry shape, the solver loops stay on the accelerator.
+        eri_backend = None
+        if self.lmax >= 3 and jax.default_backend() != "cpu":
+            eri_backend = "cpu"
+        self._eri = jax.jit(self._eri_impl, backend=eri_backend)
 
     # ------------------------------------------------------------------
     # One-electron integrals: S, T, V_NE, D (3), Q (3)  [Cartesian basis]
