@@ -147,6 +147,80 @@ def measure_reference():
     return per_iter, E_ref
 
 
+def measure_secondary(basis="CC-PVTZ"):
+    """Large-basis CCSD per-iteration comparison (stderr only): the regime
+    the TPU is built for -- the 6-311G headline is latency-bound at o=7,v=19,
+    while here the contractions carry real FLOPs."""
+    import os
+    if os.environ.get("BENCH_SECONDARY", "1") == "0":
+        return
+    import jax
+    import jax.numpy as jnp
+    from tuna_tpu.cli import parse_input, process_method
+    from tuna_tpu.config import Config
+    from tuna_tpu.drivers.energy import calculate_energy
+    from tuna_tpu.post import transforms
+    from tuna_tpu.post.cc import CCSettings, get_cc_solver
+
+    config = f"SPE : N N 1.1 : CCSD {basis} : TIGHTSCF"
+    note(f"--- secondary metric: {config} ---")
+    calc_type, method_string, _, symbols, coordinates, params = parse_input(config)
+    cfg = Config(calc_type, process_method(method_string), time.time(), params,
+                 basis, symbols, suppress_output=True)
+    SCF_output, molecule, _, _ = calculate_energy(cfg, symbols, coordinates,
+                                                  silent=True, do_correlation=False)
+    g, _, epsilons, o, v = transforms.begin_spatial_orbital_calculation(
+        molecule, SCF_output.integrals.ERI_AO, SCF_output, cfg, silent=True)
+    g = g.swapaxes(1, 2)
+    F = jnp.diag(jnp.asarray(epsilons))
+    epsilons = jnp.asarray(epsilons)
+    d1 = transforms.singles_epsilons(epsilons, o, v)
+    d2 = transforms.doubles_epsilons(epsilons, epsilons, o, o, v, v)
+    t1_0, t2_0 = d1 * F[o, v], g[o, o, v, v] * d2
+    settings = CCSettings(
+        method="CCSD", restricted=True, update_singles=True,
+        keep_disconnected=True, n_occ=o.stop - (o.start or 0),
+        n_virt=int(t2_0.shape[-1]), max_iter=cfg.correlated_max_iter,
+        use_diis=True, max_diis=cfg.max_DIIS_matrices, damping=0.0)
+    solver = get_cc_solver(settings)
+    dummy, d3 = jnp.zeros((1, 1)), jnp.zeros((1,))
+
+    out = solver(g, F, d1, d2, t1_0, t2_0, dummy, dummy, dummy, d3,
+                 cfg.energy_convergence, cfg.amp_conv)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = solver(g, F, d1, d2, t1_0, t2_0, dummy, dummy, dummy, d3,
+                 cfg.energy_convergence, cfg.amp_conv)
+    jax.block_until_ready(out)
+    ours = (time.perf_counter() - t0) / int(out[0])
+    note(f"ours CCSD/{basis}: {int(out[0])} iterations, "
+         f"{ours * 1e3:.1f} ms/iter, E_corr = {float(out[3]):.8f}")
+
+    from tools.reference_oracle import load_reference, reference_calculation
+    load_reference()
+    import tuna_cc
+    import tuna_energy
+    iteration_times = []
+    original = tuna_cc.run_restricted_CCSD_iteration
+
+    def timed(*args, **kwargs):
+        t0 = time.perf_counter()
+        result = original(*args, **kwargs)
+        iteration_times.append(time.perf_counter() - t0)
+        return result
+
+    tuna_cc.run_restricted_CCSD_iteration = timed
+    try:
+        calculation, symbols, coordinates = reference_calculation(config)
+        tuna_energy.evaluate_molecular_energy(calculation, symbols, coordinates,
+                                              terse=True, silent=True)
+    finally:
+        tuna_cc.run_restricted_CCSD_iteration = original
+    ref = statistics.median(iteration_times)
+    note(f"reference CCSD/{basis}: {len(iteration_times)} iterations, "
+         f"{ref * 1e3:.1f} ms/iter -> speedup {ref / ours:.1f}x")
+
+
 def main():
     ours_per_iter, n_iter, E_ours = measure_ours()
     ref_per_iter, E_ref = measure_reference()
@@ -162,6 +236,11 @@ def main():
         "unit": "x",
         "vs_baseline": round(speedup / 20.0, 3),
     }), flush=True)
+
+    try:
+        measure_secondary()
+    except Exception as exc:  # secondary metric must never break the contract
+        note(f"secondary metric skipped: {exc!r}")
 
 
 if __name__ == "__main__":
