@@ -113,3 +113,14 @@ def test_anharm_h2():
     fundamental = (levels[1] - levels[0]) * constants.PER_CM_IN_HARTREE
     # anharmonic fundamental lies below the harmonic frequency (~5480)
     assert 4500 < fundamental < 5480
+
+
+def test_checkpoint_restart(tmp_path):
+    """CHKPT writes SCF + CC stages; READCHK warm-starts to the same energy."""
+    chk = str(tmp_path / "h2.chk.npz")
+    E1 = run(f"SPE : H H 0.74 : CCSD STO-3G : CHKPT {chk}", suppress_output=True)[2]
+    E2 = run(f"SPE : H H 0.74 : CCSD STO-3G : READCHK {chk}", suppress_output=True)[2]
+    assert abs(E1 - E2) < 1e-8
+    import numpy as np
+    stages = set(np.load(chk).files)
+    assert {"scf/P", "cc/t2"} <= stages

@@ -25,20 +25,32 @@ from .periodic import ATOMIC_PROPERTIES
 MINIMUM_BOND_LENGTH_ANGSTROMS = 0.01
 
 
+class ParamList(list):
+    """Upper-cased keyword tokens, with the raw-cased originals attached so
+    path-valued keywords survive the grammar's upper-casing."""
+
+    def __init__(self, upper_tokens, raw_tokens=None):
+        super().__init__(upper_tokens)
+        self.raw = list(raw_tokens) if raw_tokens is not None else list(upper_tokens)
+
+
 def parse_input(input_line: str):
     """Parse the colon-grammar input line."""
     atom_options = ATOMIC_PROPERTIES.keys()
     ghost_options = [f"X{key}" for key in ATOMIC_PROPERTIES.keys()]
     method_options = {m.name for m in ELECTRONIC_STRUCTURE_METHODS}
 
+    raw_line = input_line.strip()
     input_line = input_line.upper().strip()
 
     try:
+        raw_sections = raw_line.split(":")
         sections = input_line.split(":")
         calculation_type = sections[0].strip()
         geometry_section = sections[1].strip()
         method_string, basis = sections[2].strip().split()
         params = sections[3].strip().split() if len(sections) == 4 else []
+        params_raw = raw_sections[3].strip().split() if len(sections) == 4 else []
     except (IndexError, ValueError):
         error("Input line formatted incorrectly! Read the manual for help.")
 
@@ -72,7 +84,8 @@ def parse_input(input_line: str):
 
     coordinates = np.array([[0.0, 0.0, constants.angstrom_to_bohr(c)]
                             for c in coordinates_1D])
-    return calculation_type, method_string, basis, atomic_symbols, coordinates, params
+    return (calculation_type, method_string, basis, atomic_symbols, coordinates,
+            ParamList(params, params_raw))
 
 
 def process_method(method_string: str):

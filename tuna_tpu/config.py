@@ -163,6 +163,11 @@ KEYWORDS = [
     Kw("OSS", "OSS_requested", "both", False, float, 6 / 5, "opposite_spin_scaling"),
 
     Kw("TRAJ", "trajectory", "both", False, str, "tuna-trajectory.xyz", "trajectory_path"),
+    # Checkpoint/restart (TPU-build upgrade; no reference equivalent): CHKPT
+    # writes densities and CC amplitudes after each converged stage, READCHK
+    # warm-starts from them.
+    Kw("CHKPT", "checkpoint", "both", False, str, "tuna-tpu.chk.npz", "checkpoint_path"),
+    Kw("READCHK", "read_checkpoint", "both", False, str, "tuna-tpu.chk.npz", "read_checkpoint_path"),
     Kw("SAVEPLOT", "save_plot", "both", False, str, "tuna-plot.pdf", "save_plot_filepath", is_path=True),
     Kw("PLOTMO", "plot_molecular_orbital", "both", False, int, 1, "molecular_orbital_to_plot"),
     Kw("PLOTNO", "plot_natural_orbital", "both", False, int, 1, "natural_orbital_to_plot"),
@@ -205,7 +210,8 @@ def _apply_keywords(config: "Config", params: list[str]) -> None:
             i += 1
             continue
 
-        raw = params[i + 1]
+        raw_tokens = getattr(params, "raw", params)
+        raw = raw_tokens[i + 1] if kw.typ is str and i + 1 < len(raw_tokens) else params[i + 1]
         try:
             value = kw.typ(raw)
         except ValueError:

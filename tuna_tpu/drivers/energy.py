@@ -82,6 +82,15 @@ def build_molecule_and_integrals(calculation, atomic_symbols, coordinates, silen
     common.check_overlap_eigenvalues(smallest_S_eigenvalue, calculation, silent=silent)
 
     P_guess, P_guess_alpha, P_guess_beta, E_guess = guess_container
+    if (P_guess is None and getattr(calculation, "read_checkpoint", False)):
+        from .. import checkpoint
+        stage = checkpoint.load_stage(calculation, "scf")
+        if stage is not None and stage["P"].shape[0] == int(integrals.n_basis):
+            P_guess = stage["P"]
+            P_guess_alpha, P_guess_beta = stage["P_alpha"], stage["P_beta"]
+            E_guess = float(stage["energy"])
+            log(" Restarting SCF from checkpoint density.", calculation, 1,
+                silent=silent)
     if (calculation.self_consistent_guess and do_correlation and P_guess is None
             and P_guess_alpha is None and P_guess_beta is None):
         P_guess, P_guess_alpha, P_guess_beta, E_guess = calculate_self_consistent_guess(
@@ -133,6 +142,12 @@ def calculate_energy(calculation, atomic_symbols, coordinates, P_guess=None,
     SCF_output = run_self_consistent_field(
         molecule, calculation, integrals, V_NN, X, guess_container,
         grid_container, silent, xc_closure=xc_closure)
+
+    if getattr(calculation, "checkpoint", False):
+        from .. import checkpoint
+        checkpoint.save_stage(calculation, "scf", {
+            "P": SCF_output.P, "P_alpha": SCF_output.P_alpha,
+            "P_beta": SCF_output.P_beta, "energy": SCF_output.energy})
 
     if not do_correlation:
         return SCF_output, molecule, SCF_output.energy, SCF_output.P

@@ -1166,6 +1166,15 @@ def begin_coupled_cluster_calculation(method, molecule, SCF_output, integrals, X
 
     t_ia = e_ia * F[o, v]
     t_ijab = g[o, o, v, v] * e_ijab
+    if getattr(calculation, "read_checkpoint", False):
+        from .. import checkpoint
+        stage = checkpoint.load_stage(calculation, "cc")
+        if (stage is not None and stage.get("t2") is not None
+                and tuple(stage["t2"].shape) == tuple(t_ijab.shape)):
+            t_ia = jnp.asarray(stage["t1"])
+            t_ijab = jnp.asarray(stage["t2"])
+            log("\n Restarting amplitudes from checkpoint.", calculation, 1,
+                silent=silent)
     t_ijkabc = jnp.zeros_like(e_ijkabc) if e_ijkabc is not None else None
     t_ijklabcd = jnp.zeros_like(e_ijklabcd) if e_ijklabcd is not None else None
 
@@ -1179,6 +1188,11 @@ def begin_coupled_cluster_calculation(method, molecule, SCF_output, integrals, X
 
     t_ia, t_ijab, t_ijkabc, t_ijklabcd = t_amplitudes
     t_ia = jnp.zeros_like(e_ia) if t_ia is None else t_ia
+
+    if getattr(calculation, "checkpoint", False):
+        from .. import checkpoint
+        checkpoint.save_stage(calculation, "cc",
+                              {"t1": t_ia, "t2": t_ijab, "E_CC": E_CC})
 
     T1_diagnostic(molecule, t_ia, spin_labels_sorted, n_occ, molecule.n_alpha,
                   molecule.n_beta, calculation, silent)
