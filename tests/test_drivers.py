@@ -100,6 +100,7 @@ def test_optfreq_b3lyp_gate():
     assert abs(molecule.bond_length - 1.404) < 5e-2
 
 
+@pytest.mark.slow
 def test_ea_runs():
     result = run("EA : LI H 1.6 : HF STO-3G", suppress_output=True)
     assert result is not None
