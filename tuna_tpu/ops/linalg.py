@@ -123,15 +123,25 @@ def inverse_sqrt(S: jnp.ndarray, eigenvalues: jnp.ndarray | None = None,
                  ns_steps: int = _NS_STEPS):
     """S^-1/2 for SPD S via eigh seed + Newton-Schulz refinement.
 
-    The Newton-Schulz step Y <- Y (3I - S Y^2)/2 converges quadratically and
-    uses only accurate matmuls, fixing the ~1e-7 eigh noise.  Returns
-    (X = S^-1/2, smallest eigenvalue of S, S^-1).
+    The COUPLED Newton-Schulz pair iteration
+
+        M = (3I - Z Y)/2,   Y <- Y M,   Z <- M Z
+
+    with Y -> S^1/2 and Z -> S^-1/2 converges quadratically from the eigh
+    seed using only accurate matmuls.  (The uncoupled form Y <- Y(3I-SY^2)/2
+    stalls near the seed's error when the seed is not a polynomial in S --
+    observed as a 1.5e-7 orthonormality floor on TPU, which capped SCF
+    convergence at ~1e-7.)  Returns (X = S^-1/2, smallest eigenvalue, S^-1).
     """
     w, V = jnp.linalg.eigh(S)
-    Y = (V * (1.0 / jnp.sqrt(w))) @ V.T
+    Z = (V * (1.0 / jnp.sqrt(w))) @ V.T
+    Z = 0.5 * (Z + Z.T)
+    Y = S @ Z
     identity = jnp.eye(S.shape[0], dtype=S.dtype)
     for _ in range(ns_steps):
-        Y = Y @ (1.5 * identity - 0.5 * (S @ (Y @ Y)))
-        Y = 0.5 * (Y + Y.T)
-    S_inverse = Y @ Y
-    return Y, jnp.min(w), S_inverse
+        M = 1.5 * identity - 0.5 * (Z @ Y)
+        Y = Y @ M
+        Z = M @ Z
+    Z = 0.5 * (Z + Z.T)
+    S_inverse = Z @ Z
+    return Z, jnp.min(w), S_inverse
