@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-CONFIG = "SPE : N N 1.1 : CCSD 6-311G : TIGHTSCF"
+CONFIG = "SPE : N N 1.1 : CCSD 6-311G : TIGHTSCF"  # clamped to the TPU noise floor on-device
 
 
 def note(msg):

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..containers import Integrals, Output
 from ..ops import linalg
-from ..output import error, log, log_big_spacer, timer
+from ..output import error, log, log_big_spacer, timer, warning
 
 
 # ---------------------------------------------------------------------------
@@ -411,6 +411,18 @@ def run_self_consistent_field(molecule, calculation, integrals: Integrals, V_NN,
     Fld = integrals.F if integrals.F is not None else jnp.zeros_like(integrals.S)
     G = integrals.G if integrals.G is not None else jnp.zeros_like(integrals.S)
     conv = calculation.SCF_conv
+    # Double-single f64 emulation on accelerators bounds the reachable
+    # energy/density noise at ~1e-8/1e-9; clamp tighter requests so TIGHTSCF
+    # and EXTREMESCF converge to the best the hardware can do instead of
+    # spinning to MAXITER.
+    if jax.default_backend() != "cpu":
+        floor = {"delta_E": 5e-9, "max_DP": 1e-8, "RMS_DP": 3e-9,
+                 "commutator": 1e-7}
+        clamped = {k: max(conv[k], floor[k]) for k in floor}
+        if any(clamped[k] != conv[k] for k in floor):
+            warning("SCF convergence criteria clamped to the accelerator's "
+                    "f64-emulation noise floor.", space=1)
+            conv = dict(conv, **clamped)
     static_damping = calculation.damping_factor if calculation.damping_factor is not None else 0.0
 
     n_steps, converged, E, P_a, P_b, stats, outs = kernel(
