@@ -132,3 +132,18 @@ def test_open_shell_uks_cells():
     assert_parity("SPE : LI H 1.6 : UPBE 6-31G : CH 1 ML 2 TIGHTSCF", tol=1e-9)
     assert_parity("SPE : LI H 1.6 : UTPSS STO-3G : CH 1 ML 2 TIGHTSCF", tol=1e-9)
     assert_parity("SPE : LI H 1.6 : UB3LYP STO-3G : CH 1 ML 2 TIGHTSCF", tol=1e-9)
+
+
+@pytest.mark.slow
+def test_scan_matches_reference():
+    """SCAN driver end-to-end (MOREAD chaining) against the reference."""
+    from tools.reference_oracle import load_reference, reference_calculation
+    line = "SCAN : H H 0.6 : HF STO-3G : NUM 4 STEP 0.1 TIGHTSCF"
+    _, energies_ours, _ = run(line, suppress_output=True)
+    load_reference()
+    import tuna_energy
+    calculation, symbols, coords = reference_calculation(line)
+    _, energies_ref, _ = tuna_energy.scan_coordinate(calculation, symbols, coords,
+                                                     silent=True)
+    for E_o, E_r in zip(energies_ours, energies_ref):
+        assert abs(E_o - E_r) < 1e-8

@@ -416,8 +416,10 @@ def run_self_consistent_field(molecule, calculation, integrals: Integrals, V_NN,
     # and EXTREMESCF converge to the best the hardware can do instead of
     # spinning to MAXITER.
     if jax.default_backend() != "cpu":
-        floor = {"delta_E": 5e-9, "max_DP": 1e-8, "RMS_DP": 3e-9,
-                 "commutator": 1e-7}
+        # measured on v5e: P noise ~1e-8 from the emulated-f64 eigh enters
+        # the (non-variational) reference energy formula linearly
+        floor = {"delta_E": 2e-7, "max_DP": 5e-7, "RMS_DP": 5e-8,
+                 "commutator": 2e-7}
         clamped = {k: max(conv[k], floor[k]) for k in floor}
         if any(clamped[k] != conv[k] for k in floor):
             warning("SCF convergence criteria clamped to the accelerator's "
