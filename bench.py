@@ -162,7 +162,7 @@ def measure_secondary(basis="CC-PVTZ"):
     from tuna_tpu.post import transforms
     from tuna_tpu.post.cc import CCSettings, get_cc_solver
 
-    config = f"SPE : N N 1.1 : CCSD {basis} : TIGHTSCF"
+    config = f"SPE : N N 1.1 : CCSD {basis}"
     note(f"--- secondary metric: {config} ---")
     calc_type, method_string, _, symbols, coordinates, params = parse_input(config)
     cfg = Config(calc_type, process_method(method_string), time.time(), params,

@@ -31,6 +31,26 @@ def test_analytic_gradient_matches_finite_difference():
     assert abs(g_analytic - g_fd) < 1e-6
 
 
+@pytest.mark.parametrize("line", [
+    "SPE : H H 0.9 : B3LYP 6-31G : TIGHTSCF",      # hybrid GGA
+    "SPE : H H 0.9 : TPSS STO-3G : TIGHTSCF",      # meta-GGA
+    "SPE : H HE 0.9 : UB3LYP STO-3G : ML 2 TIGHTSCF",  # unrestricted hybrid
+])
+def test_dft_analytic_gradient_matches_finite_difference(line):
+    """The autodiff KS gradient (incl. moving-grid and Becke-weight terms)
+    must agree with central finite differences of the full SCF energy."""
+    from tuna_tpu.drivers import energy as energ, gradients, opt
+
+    cfg, symbols, coords = make_config(line)
+    SCF_output, molecule, _, _ = energ.evaluate_molecular_energy(
+        cfg, symbols, coords, silent=True)
+    assert gradients.analytic_gradient_available(cfg, molecule)
+    g_analytic = gradients.calculate_analytic_gradient(molecule, cfg,
+                                                       SCF_output, coords)
+    g_fd = opt.calculate_gradient(coords, cfg, symbols, silent=True)
+    assert abs(g_analytic - g_fd) < 5e-7
+
+
 def test_opt_converges_h2():
     molecule, energy = run("OPT : H H 1.0 : HF STO-3G", suppress_output=True)
     # HF/STO-3G equilibrium bond length of H2 is 1.346 bohr

@@ -155,13 +155,10 @@ def integrate_final_density(alpha_density, beta_density, density, weights,
     log(f" Integral of the total density:       {n_total:13.10f}", calculation, 1, silent=silent)
 
 
-def set_up_integration_grid(molecule, P_guess_alpha, P_guess_beta, calculation,
-                            silent):
-    """Build the molecular grid, evaluate the basis (and gradients) on it."""
-    timer("Integration grid setup", 0)
-    log(f' Setting up DFT integration grid with "{calculation.grid_conv["name"]}" '
-        "accuracy...  ", calculation, 1, end="", silent=silent)
-
+def grid_parameters(molecule, calculation):
+    """Static grid dimensions (extent, n_radial, Lebedev order) for this
+    molecule/accuracy pair -- geometry-independent, so shared between SCF grid
+    setup and the analytic-gradient path."""
     extent_multiplier = calculation.grid_conv["extent_multiplier"]
     integral_accuracy = (calculation.grid_conv["integral_accuracy"]
                          if not calculation.integral_accuracy_requested
@@ -173,6 +170,17 @@ def set_up_integration_grid(molecule, P_guess_alpha, P_guess_beta, calculation,
     n = int(integral_accuracy * 9)
     Lebedev_order = int(LEBEDEV_ORDERS[np.abs(LEBEDEV_ORDERS - n).argmin()])
     n_radial = int(extent * integral_accuracy)
+    return extent, n_radial, Lebedev_order
+
+
+def set_up_integration_grid(molecule, P_guess_alpha, P_guess_beta, calculation,
+                            silent):
+    """Build the molecular grid, evaluate the basis (and gradients) on it."""
+    timer("Integration grid setup", 0)
+    log(f' Setting up DFT integration grid with "{calculation.grid_conv["name"]}" '
+        "accuracy...  ", calculation, 1, end="", silent=silent)
+
+    extent, n_radial, Lebedev_order = grid_parameters(molecule, calculation)
 
     points, weights = build_molecular_grid(extent, n_radial, Lebedev_order,
                                            molecule.bond_length, molecule.atoms)

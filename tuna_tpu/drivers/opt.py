@@ -24,7 +24,7 @@ def calculate_gradient(coordinates, calculation, atomic_symbols, silent=False,
     full energy evaluations otherwise (tuna_opt.py:37-76)."""
     from . import gradients
     if (molecule is not None and SCF_output is not None
-            and gradients.analytic_gradient_available(calculation)):
+            and gradients.analytic_gradient_available(calculation, molecule)):
         log(" Calculating analytic gradient (autodiff)...          ",
             calculation, 1, end="", silent=silent)
         gradient = gradients.calculate_analytic_gradient(
