@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-CONFIG = "SPE : N N 1.1 : CCSD 6-311G : TIGHTSCF"  # clamped to the TPU noise floor on-device
+CONFIG = "SPE : N N 1.1 : CCSD 6-311G : TIGHTSCF"
 
 
 def note(msg):

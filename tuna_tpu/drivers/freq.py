@@ -106,7 +106,8 @@ def calculate_harmonic_frequency(calculation, atomic_symbols=None, coordinates=N
     try:
         (hessian, SCF_forward, P_forward, SCF_backward, P_backward,
          displaced_energies) = opt.calculate_hessian(coordinates, calculation,
-                                                     atomic_symbols, energy)
+                                                     atomic_symbols, energy,
+                                                     allow_analytic=not do_vpt)
     finally:
         constants.SECOND_GEOM_DERIVATIVE_STEP = saved_step
 

@@ -46,11 +46,42 @@ def calculate_gradient(coordinates, calculation, atomic_symbols, silent=False,
     return first_derivative(E_backward, E_forward, constants.FIRST_GEOM_DERIVATIVE_STEP)
 
 
-def calculate_hessian(coordinates, calculation, atomic_symbols, energy, silent=False):
-    """Five-point d2E/dR2, returning displaced wavefunctions for dipole
-    derivatives (tuna_opt.py:87-147)."""
+def calculate_hessian(coordinates, calculation, atomic_symbols, energy, silent=False,
+                      allow_analytic=True):
+    """d2E/dR2, returning displaced wavefunctions for dipole derivatives.
+
+    When the analytic autodiff gradient applies (HF and most DFT,
+    drivers/gradients.py), the Hessian is a central difference of exact
+    gradients: two displaced SCF solves instead of the reference's four
+    (tuna_opt.py:87-147), with no small-energy-difference cancellation.
+    Callers that need the +/-2h energies downstream (VPT stencils) pass
+    allow_analytic=False to force the five-point path.
+    """
+    from . import gradients
     h = constants.SECOND_GEOM_DERIVATIVE_STEP
     prod = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, h]])
+
+    has_ghost = any(str(s).upper().startswith("X") for s in atomic_symbols)
+    if (allow_analytic and not has_ghost
+            and gradients.analytic_gradient_available(calculation)):
+        log("\n Calculating analytic gradient on displaced geometry 1 of 2...   ",
+            calculation, 1, end="", silent=silent)
+        SCF_forward, mol_f, E_f, P_forward = energ.evaluate_molecular_energy(
+            calculation, atomic_symbols, coordinates + prod, silent=True)
+        g_f = gradients.calculate_analytic_gradient(mol_f, calculation,
+                                                    SCF_forward, coordinates + prod)
+        log("[Done]", calculation, 1, silent=silent)
+        log(" Calculating analytic gradient on displaced geometry 2 of 2...   ",
+            calculation, 1, end="", silent=silent)
+        SCF_backward, mol_b, E_b, P_backward = energ.evaluate_molecular_energy(
+            calculation, atomic_symbols, coordinates - prod, silent=True)
+        g_b = gradients.calculate_analytic_gradient(mol_b, calculation,
+                                                    SCF_backward, coordinates - prod)
+        log("[Done]\n", calculation, 1, silent=silent)
+        hessian = (g_f - g_b) / (2 * h)
+        return (hessian, SCF_forward, P_forward, SCF_backward, P_backward,
+                (None, E_b, E_f, None))
+
     labels = ["1 of 4", "2 of 4", "3 of 4", "4 of 4"]
 
     log(f"\n Calculating energy on displaced geometry {labels[0]}...   ",

@@ -121,27 +121,30 @@ def expm_skew(K: jnp.ndarray):
 
 def inverse_sqrt(S: jnp.ndarray, eigenvalues: jnp.ndarray | None = None,
                  ns_steps: int = _NS_STEPS):
-    """S^-1/2 for SPD S via eigh seed + Newton-Schulz refinement.
+    """Orthogonalising X ~ S^-1/2 for SPD S via eigh seed + constraint polish.
 
-    The COUPLED Newton-Schulz pair iteration
+    The eigh seed on TPU carries ~1e-7..1e-5 eigenvector noise (worse with
+    basis-set condition number).  Newton-Schulz variants cannot repair it:
+    both Y <- Y(3I-SY^2)/2 and the coupled (Y, Z) pair only contract the
+    error component that COMMUTES with S, so they stall exactly at the
+    seed's non-commuting noise (measured: a frozen 1.1e-5 |X^T S X - I| at
+    cc-pVTZ, independent of iteration count).  The symmetric sandwich
 
-        M = (3I - Z Y)/2,   Y <- Y M,   Z <- M Z
+        E = X^T S X - I,    X <- X (I - E/2)
 
-    with Y -> S^1/2 and Z -> S^-1/2 converges quadratically from the eigh
-    seed using only accurate matmuls.  (The uncoupled form Y <- Y(3I-SY^2)/2
-    stalls near the seed's error when the seed is not a polynomial in S --
-    observed as a 1.5e-7 orthonormality floor on TPU, which capped SCF
-    convergence at ~1e-7.)  Returns (X = S^-1/2, smallest eigenvalue, S^-1).
+    contracts the orthonormality constraint itself:
+    X'^T S X' - I = -(3/4) E^2 + O(E^3) with no commutation assumption, so
+    two-three steps reach the f64-emulation rounding floor (~1e-13).  X
+    drifts from the symmetric Loewdin form by O(seed noise) -- harmless, any
+    X with X^T S X = I orthogonalises the SCF -- hence S^-1 = X X^T (not XX).
+    Returns (X, smallest eigenvalue of S, S^-1).
     """
     w, V = jnp.linalg.eigh(S)
-    Z = (V * (1.0 / jnp.sqrt(w))) @ V.T
-    Z = 0.5 * (Z + Z.T)
-    Y = S @ Z
+    X = (V * (1.0 / jnp.sqrt(w))) @ V.T
+    X = 0.5 * (X + X.T)
     identity = jnp.eye(S.shape[0], dtype=S.dtype)
     for _ in range(ns_steps):
-        M = 1.5 * identity - 0.5 * (Z @ Y)
-        Y = Y @ M
-        Z = M @ Z
-    Z = 0.5 * (Z + Z.T)
-    S_inverse = Z @ Z
-    return Z, jnp.min(w), S_inverse
+        E = X.T @ S @ X - identity
+        X = X - 0.5 * (X @ E)
+    S_inverse = X @ X.T
+    return X, jnp.min(w), S_inverse
