@@ -114,3 +114,25 @@ def test_convergence_keywords():
                            suppress_output=True)
     _, _, E_tight, _ = run("SPE : H H 0.74 : HF STO-3G : EXTREME", suppress_output=True)
     assert abs(E_loose - E_tight) < 1e-5
+
+
+def test_inverse_sqrt_repairs_noncommuting_seed_noise():
+    """The S^-1/2 polish must contract |X^T S X - I| quadratically even when
+    the eigh seed carries eigenvector noise that does not commute with S --
+    the TPU failure mode that froze SCF convergence at cc-pVTZ (a Newton-
+    Schulz stall at the seed error, see ops/linalg.py docstring)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tuna_tpu.ops import linalg
+
+    rng = np.random.default_rng(7)
+    n = 40
+    # ill-conditioned SPD overlap-like matrix (cond ~ 1e5)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.logspace(-5, 0, n)
+    S = Q @ np.diag(w) @ Q.T
+    X, wmin, S_inv = linalg.inverse_sqrt(jnp.asarray(S))
+    err = np.abs(np.asarray(X).T @ S @ np.asarray(X) - np.eye(n)).max()
+    assert err < 1e-11
+    assert abs(float(wmin) - w.min()) < 1e-8
+    assert np.abs(np.asarray(S_inv) @ S - np.eye(n)).max() < 1e-7

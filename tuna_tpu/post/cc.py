@@ -243,11 +243,17 @@ def _r_ccsd(B, F_ov, d1, d2, t1, t2, aux, freeze_singles: bool = False):
     dLoo = dFoo + jnp.einsum("ickl,lc->ik", B["Lovoo"], t1, optimize=True)
     dLvv = dFvv + jnp.einsum("kadc,kd->ca", B["Lovvv"], t1, optimize=True)
 
-    Wvvvv = B["vvvv"]
+    ladder = _r_pair_ladder(Woooo, B["vvvv"], tau, tau)
     if not freeze_singles:
-        Wvvvv = (Wvvvv
-                 - jnp.einsum("kadc,kb->abcd", B["ovvv"], t1, optimize=True)
-                 - jnp.einsum("kbcd,ka->abcd", B["ovvv"], t1, optimize=True))
+        # T1-dressing of the particle ladder WITHOUT materialising the dressed
+        # (v,v,v,v) tensor: contracting tau into ovvv first turns two v^4
+        # tensor builds (the dominant cost per iteration on TPU -- awkward
+        # abcd output permutations of 8v^4 bytes) into one o^2v^3 intermediate
+        # and two O(o^3 v^2) contractions.  Uses tau_ijcd = tau_jidc.
+        Y = jnp.einsum("kacd,ijcd->kaij", B["ovvv"], tau, optimize=True)
+        ladder = ladder - 0.5 * (
+            jnp.einsum("kaji,kb->ijab", Y, t1, optimize=True)
+            + jnp.einsum("kbij,ka->ijab", Y, t1, optimize=True))
 
     r1 = (jnp.einsum("ca,ic->ia", dFvv, t1, optimize=True)
           - jnp.einsum("ik,ka->ia", dFoo, t1, optimize=True)
@@ -257,7 +263,7 @@ def _r_ccsd(B, F_ov, d1, d2, t1, t2, aux, freeze_singles: bool = False):
           + jnp.einsum("icak,kc->ia", B["Lovvo"], t1, optimize=True)
           + jnp.einsum("kadc,ikcd->ia", B["Lovvv"], tau, optimize=True))
 
-    r2 = (0.5 * B["oovv"] + _r_pair_ladder(Woooo, Wvvvv, tau, tau)
+    r2 = (0.5 * B["oovv"] + ladder
           + jnp.einsum("ca,ijcb->ijab", dLvv, t2, optimize=True)
           - jnp.einsum("ik,kjab->ijab", dLoo, t2, optimize=True)
           + jnp.einsum("icab,jc->ijab", B["ovvv"], t1, optimize=True)
