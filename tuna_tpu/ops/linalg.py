@@ -69,35 +69,31 @@ def solve_symmetric(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-14):
 
 
 def solve_linear_small(A: jnp.ndarray, b: jnp.ndarray):
-    """Dense solve for small in-loop systems (DIIS) by Gaussian elimination
-    with partial pivoting in pure vector ops.
+    """Dense solve for small in-loop systems (DIIS) by statically-unrolled,
+    row-equilibrated Gauss-Jordan elimination.
 
-    On TPU there is no f64 LAPACK; the eigh-based route works but costs many
-    emulated-f64 matmul passes per call, which dominates tiny solver loops.
-    For an n x n system this is n fori steps of O(n^2) elementwise work.
-    Returns (x, ok); a singular pivot propagates non-finites, so ok doubles
-    as the DIIS reset signal.
+    On TPU there is no f64 LAPACK, and sequential fori_loop steps with
+    dynamic indexing (pivot search, row swaps) cost ~10 ms EACH inside a
+    while_loop body -- a pivoted fori version of this routine dominated the
+    whole CC iteration.  n is static here, so the elimination unrolls into
+    ~4n fully-fusible vector ops with no dynamic indexing.  Row equilibration
+    replaces pivoting for stability; the residual check catches the rare
+    genuinely-singular system, and ok doubles as the DIIS reset signal.
     """
     n = A.shape[0]
-    M = jnp.concatenate([A, b[:, None]], axis=1)
-    rows = jnp.arange(n)
+    r = jnp.max(jnp.abs(A), axis=1)
+    r = jnp.where(r > 0, r, 1.0)
+    M = jnp.concatenate([A / r[:, None], (b / r)[:, None]], axis=1)
 
-    def eliminate(k, M):
-        col = jnp.where(rows < k, -1.0, jnp.abs(M[:, k]))
-        p = jnp.argmax(col)
-        row_k, row_p = M[k], M[p]
-        M = M.at[k].set(row_p).at[p].set(row_k)
-        factors = jnp.where(rows > k, M[:, k] / M[k, k], 0.0)
-        return M - factors[:, None] * M[k][None, :]
+    for k in range(n):  # static unroll
+        pivot = M[k, k]
+        safe = jnp.abs(pivot) > 1e-300
+        row_k = M[k] * jnp.where(safe, 1.0 / jnp.where(safe, pivot, 1.0), 0.0)
+        factors = M[:, k].at[k].set(0.0)
+        M = M - factors[:, None] * row_k[None, :]
+        M = M.at[k].set(row_k)
 
-    M = jax.lax.fori_loop(0, n, eliminate, M)
-
-    def back_substitute(i, x):
-        idx = n - 1 - i
-        xi = (M[idx, n] - jnp.dot(M[idx, :n], x)) / M[idx, idx]
-        return x.at[idx].set(xi)
-
-    x = jax.lax.fori_loop(0, n, back_substitute, jnp.zeros(n, dtype=A.dtype))
+    x = M[:, n]
     residual = jnp.linalg.norm(A @ x - b)
     ok = jnp.isfinite(residual) & (residual < 1e-8 * (1.0 + jnp.linalg.norm(b)))
     return x, ok
