@@ -232,25 +232,35 @@ def measure_secondary(basis="CC-PVTZ"):
 
 
 def main():
-    ours_per_iter, n_iter, E_ours = measure_ours()
-    ref_per_iter, E_ref = measure_reference()
+    # The stdout contract is exactly ONE JSON line.  The reference prints its
+    # ASCII banner to stdout on import (reference tuna.py:35), and future code
+    # may stray, so ALL measurement work runs with stdout redirected to stderr
+    # and the JSON line is written to the real stdout last.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        ours_per_iter, n_iter, E_ours = measure_ours()
+        ref_per_iter, E_ref = measure_reference()
 
-    delta = abs(E_ours - E_ref)
-    note(f"energy delta vs reference: {delta:.2e} Ha "
-         f"({'OK' if delta < 1e-8 else 'OUT OF CONTRACT'})")
+        delta = abs(E_ours - E_ref)
+        note(f"energy delta vs reference: {delta:.2e} Ha "
+             f"({'OK' if delta < 1e-8 else 'OUT OF CONTRACT'})")
 
-    speedup = ref_per_iter / ours_per_iter
+        speedup = ref_per_iter / ours_per_iter
+
+        try:
+            measure_secondary()
+        except Exception as exc:  # secondary must never break the contract
+            note(f"secondary metric skipped: {exc!r}")
+    finally:
+        sys.stdout = real_stdout
+
     print(json.dumps({
         "metric": "ccsd_per_iteration_speedup_vs_cpu_reference",
         "value": round(speedup, 3),
         "unit": "x",
         "vs_baseline": round(speedup / 20.0, 3),
     }), flush=True)
-
-    try:
-        measure_secondary()
-    except Exception as exc:  # secondary metric must never break the contract
-        note(f"secondary metric skipped: {exc!r}")
 
 
 if __name__ == "__main__":

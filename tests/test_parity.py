@@ -7,10 +7,15 @@ code.  The BASELINE.json contract is <= 1e-8 Ha agreement; these tests pin
 the gate configs at TIGHTSCF so both sides converge to the same point.
 """
 
+import os
 import sys
 from pathlib import Path
 
 import pytest
+
+if not os.path.isdir("/root/reference/TUNA"):
+    pytest.skip("reference implementation not mounted at /root/reference",
+                allow_module_level=True)
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 

@@ -25,8 +25,11 @@ _cache_dir = _os.environ.get(
     "TUNA_TPU_COMPILE_CACHE",
     str(_pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
 # CPU executables are machine-feature-specific (AOT loads can SIGILL across
-# heterogeneous hosts); only accelerator compiles are worth persisting.
-if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+# heterogeneous hosts); only accelerator compiles are worth persisting.  An
+# unset/empty JAX_PLATFORMS resolves to CPU on CPU-only hosts, so it is
+# treated as CPU here; set TUNA_TPU_COMPILE_CACHE explicitly to opt in.
+if (_os.environ.get("JAX_PLATFORMS", "").lower() in ("", "cpu")
+        and not _os.environ.get("TUNA_TPU_COMPILE_CACHE")):
     _cache_dir = None
 if _cache_dir and _cache_dir != "0":
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

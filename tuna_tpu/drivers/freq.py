@@ -164,6 +164,12 @@ def vibrational_perturbation_theory(frequency_hartree, energy, calculation,
 
     prod = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, h]])
     E_fb, E_b, E_f, E_ff = displaced_energies
+    if E_fb is None or E_ff is None:
+        # The analytic-Hessian branch of calculate_hessian only evaluates the
+        # +/-h energies; VPT stencils need all four five-point energies, so the
+        # caller must have passed allow_analytic=False.
+        raise ValueError("VPT needs all four displaced energies; the Hessian "
+                         "must be computed on the five-point path")
 
     extra = {}
     for label, mult in (("1 of 4", -4), ("2 of 4", -3), ("3 of 4", 3), ("4 of 4", 4)):
