@@ -71,7 +71,7 @@ def run_post_SCF_energy_calculation(molecule, integrals, SCF_output, grid_contai
             weights, calculation, silent)
 
     if calculation.stability_analysis:
-        from ..post import ci as stability
+        from ..post import excited as stability
         stability.determine_self_consistent_field_stability(
             molecule, calculation, integrals.ERI_AO, SCF_output, bfs_on_grid,
             weights, silent)
@@ -105,7 +105,7 @@ def run_post_SCF_energy_calculation(molecule, integrals, SCF_output, grid_contai
         log("\n Beginning excited state calculation...", calculation, 1, silent=silent)
         if molecule.n_virt <= 0:
             error("Excited state calculation requested on system with no virtual orbitals!")
-        from ..post import ci
+        from ..post import excited as ci
         (E_excited_state, E_transition, P, P_alpha, P_beta, P_diff,
          P_diff_alpha, P_diff_beta) = ci.run_excited_state_calculation(
             molecule, calculation, SCF_output, bfs_on_grid, weights, silent)

@@ -602,15 +602,20 @@ class CCSettings:
 
 
 def _push_ring(buf, entry, n_valid, max_n):
-    full = n_valid >= max_n
-    shifted = jnp.where(full, jnp.roll(buf, -1, axis=0), buf)
-    idx = jnp.where(full, max_n - 1, n_valid)
-    return shifted.at[idx].set(entry), jnp.minimum(n_valid + 1, max_n)
+    """Shift-down ring push: the newest entry always lands at the LAST slot.
+
+    Dynamic-index scatters (at[traced_idx].set) inside a while_loop body cost
+    ~2x a contiguous roll + static-index write on TPU, and at small problem
+    sizes the solver loop is op-overhead-bound, so only static indices are
+    used; validity is tracked by n_valid counting back from the end.
+    """
+    shifted = jnp.roll(buf, -1, axis=0)
+    return shifted.at[max_n - 1].set(entry), jnp.minimum(n_valid + 1, max_n)
 
 
 def _diis_coefficients(err_buf, n_valid, M):
     dtype = err_buf.dtype
-    valid = jnp.arange(M) < n_valid
+    valid = jnp.arange(M) >= (M - n_valid)
     errs = jnp.where(valid[:, None], err_buf, 0.0)
     G = errs @ errs.T
     vv = valid[:, None] & valid[None, :]
@@ -692,7 +697,8 @@ def _make_cc_solver(settings: CCSettings):
                 t1x = jnp.where(is_conv, t1x, f * t1 + (1.0 - f) * t1x)
                 t2x = jnp.where(is_conv, t2x, f * t2 + (1.0 - f) * t2x)
 
-            stats = stats.at[step - 1].set(jnp.stack([En, dE]))
+            # Shift-down history (static-index write; see _push_ring)
+            stats = jnp.roll(stats, -1, axis=0).at[-1].set(jnp.stack([En, dE]))
             return (step + 1, En, t1x, t2x, a1_buf2, a2_buf2, err_buf2,
                     n_valid2, is_conv, is_failed, stats)
 
@@ -710,6 +716,8 @@ def _make_cc_solver(settings: CCSettings):
         final = jax.lax.while_loop(cond, body, carry0)
         step, E, t1, t2 = final[0], final[1], final[2], final[3]
         conv, failed, stats = final[-3], final[-2], final[-1]
+        # Undo the shift-down storage: iteration i lands at row i
+        stats = jnp.roll(stats, step - 1, axis=0)
         E_total, E_s, E_c, E_d = energy_fn(t1=t1, t2=t2)
         return (step - 1, conv, failed, E, t1, t2, stats,
                 jnp.stack([E_s, E_c, E_d]))
@@ -724,6 +732,171 @@ def get_cc_solver(settings: CCSettings):
     if settings not in _SOLVER_CACHE:
         _SOLVER_CACHE[settings] = _make_cc_solver(settings)
     return _SOLVER_CACHE[settings]
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision Newton--Krylov finisher
+# ---------------------------------------------------------------------------
+# On TPU, every f64-emulated op pays a ~40 us fixed cost, so one f64 residual
+# evaluation costs ~1000x its f32 counterpart at small problem sizes
+# (measured at N2/6-311G: 22.8 ms vs 0.02 ms).  A conventional f64 DIIS solve
+# therefore spends ~13 x 23 ms in emulation.  Newton's method makes the f64
+# work proportional to the number of QUADRATIC steps instead: starting from
+# the f32 fixed point, each step evaluates ONE f64 residual r = Phi(t) - t
+# and solves the correction equation (I - Phi'(t)) s = r by GMRES, applying
+# the Jacobian with f32 jax.jvp (absolute error ~|s|*1e-6, far below the
+# step's quadratic gain).  Two f64 residuals typically replace the 13 f64
+# iterations.  (No reference counterpart: tuna_cc.py iterates everything
+# eagerly in f64 NumPy.)
+
+_NEWTON_MAX_STEPS = 6
+_GMRES_KRYLOV = 12
+
+
+def _gmres_static(matvec, rhs, m=_GMRES_KRYLOV):
+    """Statically-unrolled GMRES (no restarts): m matvecs, least squares in
+    the Krylov basis via the unrolled Gauss-Jordan solve.  All indices are
+    static -- inside a jitted while_loop body, dynamic scatters cost more
+    than the arithmetic they index."""
+    dtype = rhs.dtype
+    beta = jnp.linalg.norm(rhs)
+    safe_beta = jnp.where(beta > 0, beta, 1.0)
+    Q = [rhs / safe_beta]
+    H = jnp.zeros((m + 1, m), dtype=dtype)
+    for k in range(m):
+        w = matvec(Q[k])
+        for j in range(k + 1):
+            hjk = jnp.vdot(Q[j], w)
+            w = w - hjk * Q[j]
+            H = H.at[j, k].set(hjk)
+        hk1 = jnp.linalg.norm(w)
+        H = H.at[k + 1, k].set(hk1)
+        Q.append(w / jnp.where(hk1 > 1e-30, hk1, 1.0))
+    e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+    # Normal equations on the (m+1, m) Hessenberg least-squares problem,
+    # solved in f64 (tiny system; f32 normal equations square the condition
+    # number and cap the Newton step at ~3 digits).  The small ridge keeps a
+    # rank-deficient basis (early breakdown) solvable.
+    from ..ops import linalg as _linalg
+    H64 = H.astype(jnp.float64)
+    A = H64.T @ H64 + 1e-24 * jnp.eye(m, dtype=jnp.float64)
+    y, _ = _linalg.solve_linear_small(A, H64.T @ e1.astype(jnp.float64))
+    y = y.astype(dtype)
+    s = Q[0] * y[0]
+    for k in range(1, m):
+        s = s + Q[k] * y[k]
+    return s
+
+
+def _make_newton_finisher(settings: CCSettings):
+    restricted = settings.restricted
+    update = (_RESTRICTED_UPDATES if restricted else _UNRESTRICTED_UPDATES)[settings.method]
+    no, nv = settings.n_occ, settings.n_virt
+    with_singles = settings.update_singles
+
+    def finisher(g, F, d1, d2, t1_0, t2_0, energy_conv, amp_conv):
+        """t*_0: amplitudes at (or near) the f32 fixed point, f64 dtype.
+        Returns (n_newton_steps, converged, failed, E, t1, t2, E_history,
+        energy parts)."""
+        f64 = t2_0.dtype
+        f32 = jnp.float32
+        o, v = slice(0, no), slice(no, None)
+
+        blocks = _restricted_blocks if restricted else _unrestricted_blocks
+        B64 = blocks(g, o, v)
+        g32 = jnp.asarray(g, dtype=f32)
+        B32 = blocks(g32, o, v)
+        F32 = jnp.asarray(F, dtype=f32)
+        d132, d232 = jnp.asarray(d1, dtype=f32), jnp.asarray(d2, dtype=f32)
+
+        def phi(Bx, Fx, d1x, d2x, t1, t2):
+            if restricted:
+                return update(Bx, Fx[o, v], d1x, d2x, t1, t2, None)
+            return update(Bx, Fx, o, v, d1x, d2x, t1, t2, None)
+
+        energy_fn = partial(_restricted_energy if restricted else _unrestricted_energy,
+                            B64, F[o, v] if restricted else F[o, v],
+                            keep_disconnected=settings.keep_disconnected)
+
+        n1 = t1_0.size
+
+        def pack(s1, s2):
+            if with_singles:
+                return jnp.concatenate([s1.ravel(), s2.ravel()])
+            return s2.ravel()
+
+        def unpack(u):
+            if with_singles:
+                return u[:n1].reshape(t1_0.shape), u[n1:].reshape(t2_0.shape)
+            return jnp.zeros(t1_0.shape, dtype=u.dtype), u.reshape(t2_0.shape)
+
+        def body(carry):
+            step, E, t1, t2, conv, failed, hist = carry
+
+            # ONE f64 residual (the only emulated-f64 work per Newton step)
+            p1, p2 = phi(B64, F, d1, d2, t1, t2)
+            r1 = p1 - t1
+            r2 = p2 - t2
+            En = energy_fn(t1=t1, t2=t2)[0]
+            dE = En - E
+
+            r_norm = jnp.linalg.norm(r2.ravel())
+            if with_singles:
+                r_norm = jnp.maximum(r_norm, jnp.linalg.norm(r1.ravel()))
+            # The Phi(t)-t residual bounds the remaining energy error (the
+            # energy is linear in the amplitude increment to leading order),
+            # so a residual far below energy_conv certifies dE without
+            # waiting for the lagging step-to-step energy difference.
+            is_conv = (r_norm < amp_conv) & ((jnp.abs(dE) < energy_conv)
+                                             | (r_norm < 0.1 * energy_conv))
+            is_failed = ~jnp.all(jnp.isfinite(r2)) | (jnp.abs(En) > 1000.0)
+
+            # Correction equation in f32: (I - Phi') s = r
+            t1_32 = jnp.asarray(t1, dtype=f32)
+            t2_32 = jnp.asarray(t2, dtype=f32)
+
+            def matvec(u):
+                s1, s2 = unpack(u)
+                _, (j1, j2) = jax.jvp(
+                    lambda a, b: phi(B32, F32, d132, d232, a, b),
+                    (t1_32, t2_32), (s1, s2))
+                return u - pack(j1, j2)
+
+            rhs = pack(jnp.asarray(r1, dtype=f32), jnp.asarray(r2, dtype=f32))
+            s = _gmres_static(matvec, rhs)
+            s1, s2 = unpack(s)
+
+            advance = ~is_conv & ~is_failed
+            t1n = jnp.where(advance, t1 + s1.astype(f64), t1) if with_singles else t1
+            t2n = jnp.where(advance, t2 + s2.astype(f64), t2)
+
+            hist = jnp.roll(hist, -1, axis=0).at[-1].set(
+                jnp.stack([En, dE, r_norm.astype(f64)]))
+            return step + 1, En, t1n, t2n, is_conv, is_failed, hist
+
+        def cond(carry):
+            step, conv, failed = carry[0], carry[4], carry[5]
+            return (step <= _NEWTON_MAX_STEPS) & ~conv & ~failed
+
+        hist0 = jnp.zeros((_NEWTON_MAX_STEPS, 3), dtype=f64)
+        carry0 = (jnp.asarray(1), jnp.asarray(0.0, dtype=f64), t1_0, t2_0,
+                  jnp.asarray(False), jnp.asarray(False), hist0)
+        step, E, t1, t2, conv, failed, hist = jax.lax.while_loop(cond, body, carry0)
+        hist = jnp.roll(hist, step - 1, axis=0)
+        E_total, E_s, E_c, E_d = energy_fn(t1=t1, t2=t2)
+        return (step - 1, conv, failed, E_total, t1, t2, hist,
+                jnp.stack([E_s, E_c, E_d]))
+
+    return jax.jit(finisher)
+
+
+_FINISHER_CACHE: dict = {}
+
+
+def get_newton_finisher(settings: CCSettings):
+    if settings not in _FINISHER_CACHE:
+        _FINISHER_CACHE[settings] = _make_newton_finisher(settings)
+    return _FINISHER_CACHE[settings]
 
 
 # ---------------------------------------------------------------------------
@@ -815,11 +988,14 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
 
     solver = get_cc_solver(settings)
 
-    # Two-phase precision: on accelerators, f64 is emulated (~6 passes per
-    # dot), so warm up the amplitudes in native f32 to ~1e-5 and let the f64
-    # loop only do the final refinement -- the converged fixed point is
-    # identical, the wall time is not.
+    # Mixed-precision solve on accelerators: every f64-emulated op carries a
+    # large fixed cost on TPU, so (1) converge the amplitudes at native-f32
+    # DIIS speed, then (2) refine to the f64 fixed point with the
+    # Newton--Krylov finisher, whose only emulated-f64 work is one residual
+    # evaluation per quadratic step (typically two).  The pure-f64 while_loop
+    # remains the CPU path and the fallback if either phase fails.
     n_warm = 0
+    newton_done = False
     if jax.default_backend() != "cpu" and base_name not in ("CC2", "CC3"):
         f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
         (n_warm, warm_conv, warm_failed, _, t1_w, t2_w, _, _) = solver(
@@ -831,18 +1007,37 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
                 "iterations)", calculation, 3, silent=silent)
             t_ia = jnp.asarray(t1_w, dtype=t_ia.dtype)
             t_ijab = jnp.asarray(t2_w, dtype=t_ijab.dtype)
+
+            finisher = get_newton_finisher(settings)
+            (n_newton, nconv, nfailed, E_CC, t1, t2, stats, parts) = finisher(
+                g, F, d1, d2, t_ia, t_ijab,
+                calculation.energy_convergence, calculation.amp_conv)
+            if bool(nconv) and not bool(nfailed):
+                newton_done = True
+                n_steps = int(n_newton)
+                stats = np.asarray(stats)
+                for i in range(n_steps):
+                    log(f"  {i + 1:3.0f} (Newton)  {stats[i, 0]:13.10f}         "
+                        f"{stats[i, 1]:13.10f}", calculation, 1, silent=silent)
+            else:
+                # seed the f64 loop with whatever Newton achieved
+                t_ia = jnp.asarray(t1, dtype=t_ia.dtype)
+                t_ijab = jnp.asarray(t2, dtype=t_ijab.dtype)
         else:
             n_warm = 0
 
-    (n_steps, converged, failed, E_CC, t1, t2, stats, parts) = solver(
-        g, F, d1, d2, t_ia, t_ijab, ERI_AO, C, H_core, d3,
-        calculation.energy_convergence, calculation.amp_conv)
+    if not newton_done:
+        (n_steps, converged, failed, E_CC, t1, t2, stats, parts) = solver(
+            g, F, d1, d2, t_ia, t_ijab, ERI_AO, C, H_core, d3,
+            calculation.energy_convergence, calculation.amp_conv)
 
-    n_steps = int(n_steps)
-    stats = np.asarray(stats)
-    for i in range(n_steps):
-        log(f"  {i + 1:3.0f}           {stats[i, 0]:13.10f}         {stats[i, 1]:13.10f}",
-            calculation, 1, silent=silent)
+        n_steps = int(n_steps)
+        stats = np.asarray(stats)
+        for i in range(n_steps):
+            log(f"  {i + 1:3.0f}           {stats[i, 0]:13.10f}         {stats[i, 1]:13.10f}",
+                calculation, 1, silent=silent)
+    else:
+        converged, failed = True, False
 
     if bool(failed):
         error(f'Non-finite encountered in {base_name} iteration. Try stronger '

@@ -1,25 +1,30 @@
-"""Single-reference excited states: CIS / TDHF / TDA / TD-DFT, oscillator
-strengths, transition dipoles, excited-state densities, absorption spectra
-and the CIS(D) perturbative doubles correction.
+"""Excited states and SCF stability, driven through the device-side linear
+response module (post.rpa).
 
-The excitation Hamiltonian blocks are built on device (post.response); the
-small (ov x ov) eigenproblems are solved on host (the full Casida problem is
-non-Hermitian, which TPUs do not support).  Capability parity:
-/root/reference/TUNA/tuna_ci.py:687-714, 1157-2299.
+CIS / TDHF / TDA / TD-DFT excitation spectra, transition dipoles and
+oscillator strengths, excited-state difference densities, and the CIS(D)
+perturbative doubles correction.  The eigenproblems run on device through
+ops.linalg (Hermitian-product Casida, see rpa.rpa_excitations); CIS(D) is
+factorised through o^2/v^2 intermediates so no three-operand contraction is
+ever materialised.  Capability parity: /root/reference/TUNA/tuna_ci.py
+:687-714 (oscillator strengths), :922-1114 (stability), :1157-1461 (state
+solvers), :1462-1869 (properties/printing), :1870-2145 (CIS(D)),
+:2146-2299 (driver); the architecture here is original.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
 from ..output import error, log, log_big_spacer, log_spacer, timer, warning
-from . import response, transforms
+from . import rpa, transforms
 
 
 # ---------------------------------------------------------------------------
-# Eigensolvers
+# State-vector utilities
 # ---------------------------------------------------------------------------
 
 def split_state_vector(column, n_occ, n_virt):
@@ -31,62 +36,50 @@ def split_state_vector(column, n_occ, n_virt):
     return column.reshape(n_occ, n_virt), np.zeros((n_occ, n_virt))
 
 
-def solve_tda(A):
-    """Hermitian (CIS / TDA) eigenproblem."""
-    if A is None:
-        return None, None
-    return np.linalg.eigh(np.asarray(A))
-
-
-def solve_casida(A, B):
-    """Full non-Hermitian TDHF block problem [[A,B],[-B,-A]] with X^2 - Y^2
-    metric normalisation; positive roots only, ascending."""
-    if A is None or B is None:
-        return None, None
-    A, B = np.asarray(A), np.asarray(B)
-    n_ia = A.shape[0]
-    H = np.block([[A, B], [-B, -A]])
-    energies, vectors = np.linalg.eig(H)
-
-    if np.max(np.abs(energies.imag)) > constants.COMPLEX_EIG_THRESH:
-        warning("Diagonalisation gave complex excitation energies - the "
-                "reference may be unstable!", space=2)
-    energies, vectors = energies.real, vectors.real
-
-    X, Y = vectors[:n_ia], vectors[n_ia:]
-    metric = np.einsum("in,in->n", X, X) - np.einsum("in,in->n", Y, Y)
-    vectors = vectors / np.sqrt(np.abs(metric))
-
-    keep = energies > 0
-    energies, vectors = energies[keep], vectors[:, keep]
-    order = energies.argsort()
-    return energies[order], vectors[:, order]
+def _solve_channel(tda, apb, amb, A):
+    """One spin channel on device; returns host arrays (energies ascending,
+    vectors column-wise), dropping any root the instability clamp touched."""
+    if tda:
+        w, V = rpa.tda_excitations(A)
+        return np.asarray(w), np.asarray(V)
+    w, V, amb_min, w2_min = rpa.rpa_excitations(apb, amb)
+    w, V = np.asarray(w), np.asarray(V)
+    if float(amb_min) < 0 or float(w2_min) < 0:
+        warning("The response matrix A-B (or the folded Casida product) has "
+                "negative eigenvalues: the SCF reference is unstable and the "
+                "affected imaginary roots were discarded.", space=2)
+        keep = w > 10 * np.sqrt(rpa.INSTABILITY_FLOOR)
+        w, V = w[keep], V[:, keep]
+    return w, V
 
 
 # ---------------------------------------------------------------------------
 # Stability analysis
 # ---------------------------------------------------------------------------
 
-def _report_hessian_eigenvalue(lowest, label, calculation, silent):
-    log(f"\n  Lowest {label} eigenvalue:             {lowest:10.5f}"
-        if "Hessian" not in label else
-        f"\n  Lowest Hessian eigenvalue:             {lowest:10.5f}",
-        calculation, 1, silent=silent)
-
-
 def determine_self_consistent_field_stability(molecule, calculation, ERI_AO,
                                               SCF_output, bfs_on_grid=None,
                                               weights=None, silent=False):
-    """Internal-stability check of the converged SCF via orbital Hessians
-    (parity: tuna_ci.py:922-1114)."""
-    K_XC_singlet = K_XC_triplet = K_XC = None
+    """Internal stability of the converged SCF.
 
+    The orbital Hessian [[A,B],[B,A]] is never formed: its spectrum is
+    eig(A+B) u eig(A-B) (rpa.orbital_hessian_lowest).  Parity surface:
+    tuna_ci.py:922-1114.
+    """
+    K_XC_singlet = K_XC_triplet = K_XC = None
     if (calculation.method.density_functional_method
             and not calculation.functional.time_dependent_available):
         error("Stability analysis is not yet available for this "
               "exchange-correlation functional!")
 
     restricted = calculation.reference == "RHF"
+    hfx = calculation.HFX_prop
+
+    log_spacer(calculation, silent=silent, start="\n")
+    log("                  Stability Analysis", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+
+    threshold = constants.ORB_HESS_EIG_THRESH
     if restricted:
         g, mos, epsilons, o, v = transforms.begin_spatial_orbital_calculation(
             molecule, ERI_AO, SCF_output, calculation, silent)
@@ -95,40 +88,22 @@ def determine_self_consistent_field_stability(molecule, calculation, ERI_AO,
             K_XC_singlet, K_XC_triplet, _ = dft_kernels.restricted_xc_kernel_matrices(
                 o, v, SCF_output.density, bfs_on_grid, mos, calculation,
                 weights, silent)
-    else:
-        (g, C_spin_block, epsilons, _, o, v, spin_labels, _, ERI_SO) = \
-            transforms.begin_spin_orbital_calculation(
-                molecule, ERI_AO, SCF_output, calculation, silent)
-        g = ERI_SO - calculation.HFX_prop * jnp.asarray(ERI_SO).transpose(0, 1, 3, 2)
-        if calculation.method.density_functional_method:
-            from ..dft import kernels as dft_kernels
-            K_XC = dft_kernels.unrestricted_xc_kernel_matrices(
-                o, v, SCF_output.P_alpha, SCF_output.P_beta, bfs_on_grid,
-                C_spin_block, spin_labels, calculation, weights, silent)
+        epsilons = jnp.asarray(epsilons)
 
-    log_spacer(calculation, silent=silent, start="\n")
-    log("                  Stability Analysis", calculation, 1, silent=silent)
-    log_spacer(calculation, silent=silent)
+        log("  Building response blocks...                ", calculation, 1, end="", silent=silent)
+        amb = rpa.restricted_amb(g, epsilons, o, v, hfx)
+        apb_s = rpa.restricted_apb(g, epsilons, o, v, hfx, "singlet", K_XC_singlet)
+        apb_t = rpa.restricted_apb(g, epsilons, o, v, hfx, "triplet", K_XC_triplet)
+        log("[Done]", calculation, 1, silent=silent)
 
-    if restricted:
-        log("  Building singlet orbital Hessian...        ", calculation, 1, end="", silent=silent)
-        g = jnp.asarray(g).transpose(0, 2, 1, 3)  # chemists' -> physicists'
-        H_singlet = response.build_orbital_hessian(g, epsilons, o, v, calculation,
-                                                   "singlet", K_XC_singlet)
-        log("[Done]", calculation, 1, silent=silent)
-        log("  Building triplet orbital Hessian...        ", calculation, 1, end="", silent=silent)
-        H_triplet = response.build_orbital_hessian(g, epsilons, o, v, calculation,
-                                                   "triplet", K_XC_triplet)
-        log("[Done]", calculation, 1, silent=silent)
         log("\n  Diagonalising orbital Hessians...          ", calculation, 1, end="", silent=silent)
-        lowest_singlet = float(np.linalg.eigvalsh(H_singlet)[0])
-        lowest_triplet = float(np.linalg.eigvalsh(H_triplet)[0])
+        lowest_singlet = float(rpa.orbital_hessian_lowest(apb_s, amb))
+        lowest_triplet = float(rpa.orbital_hessian_lowest(apb_t, amb))
         log("[Done]", calculation, 1, silent=silent)
 
         log(f"\n  Lowest singlet eigenvalue:             {lowest_singlet:10.5f}", calculation, 1, silent=silent)
         log(f"  Lowest triplet eigenvalue:             {lowest_triplet:10.5f}", calculation, 1, silent=silent)
 
-        threshold = constants.ORB_HESS_EIG_THRESH
         if lowest_singlet <= threshold:
             log("\n  The SCF is unstable wrt. restricted rotations.", calculation, 1, silent=silent)
         if lowest_triplet <= threshold:
@@ -136,21 +111,42 @@ def determine_self_consistent_field_stability(molecule, calculation, ERI_AO,
         if lowest_singlet > threshold and lowest_triplet > threshold:
             log("\n  The self-consistent field solution is stable!", calculation, 1, silent=silent)
     else:
-        log("  Building unrestricted orbital Hessian...   ", calculation, 1, end="", silent=silent)
-        H = response.build_orbital_hessian(g, epsilons, o, v, calculation,
-                                           hessian_type=None, K_XC=K_XC,
-                                           spin_labels=spin_labels)
+        (g, C_spin_block, epsilons, _, o, v, spin_labels, _, ERI_SO) = \
+            transforms.begin_spin_orbital_calculation(
+                molecule, ERI_AO, SCF_output, calculation, silent)
+        g_scaled = (jnp.asarray(ERI_SO)
+                    - hfx * jnp.asarray(ERI_SO).transpose(0, 1, 3, 2))
+        if calculation.method.density_functional_method:
+            from ..dft import kernels as dft_kernels
+            K_XC = dft_kernels.unrestricted_xc_kernel_matrices(
+                o, v, SCF_output.P_alpha, SCF_output.P_beta, bfs_on_grid,
+                C_spin_block, spin_labels, calculation, weights, silent)
+        epsilons = jnp.asarray(epsilons)
+
+        log("  Building response blocks...                ", calculation, 1, end="", silent=silent)
+        apb = rpa.spin_orbital_apb(g_scaled, epsilons, o, v, K_XC)
+        amb = rpa.spin_orbital_amb(g_scaled, epsilons, o, v)
+        keep = _spin_conserving_indices(spin_labels, o, v)
+        apb = apb[np.ix_(keep, keep)]
+        amb = amb[np.ix_(keep, keep)]
         log("[Done]", calculation, 1, silent=silent)
+
         log("\n  Diagonalising orbital Hessian...           ", calculation, 1, end="", silent=silent)
-        lowest = float(np.linalg.eigvalsh(H)[0])
+        lowest = float(rpa.orbital_hessian_lowest(apb, amb))
         log("[Done]", calculation, 1, silent=silent)
         log(f"\n  Lowest Hessian eigenvalue:             {lowest:10.5f}", calculation, 1, silent=silent)
-        if lowest <= constants.ORB_HESS_EIG_THRESH:
+        if lowest <= threshold:
             log("\n  The SCF is unstable wrt. unrestricted rotations.", calculation, 1, silent=silent)
         else:
             log("\n  The self-consistent field solution is stable!", calculation, 1, silent=silent)
 
     log_spacer(calculation, silent=silent)
+
+
+def _spin_conserving_indices(spin_labels, o, v):
+    spin_occ = np.array(spin_labels)[o]
+    spin_virt = np.array(spin_labels)[v]
+    return np.where((spin_occ[:, None] == spin_virt[None, :]).ravel())[0]
 
 
 # ---------------------------------------------------------------------------
@@ -183,70 +179,79 @@ def _print_excited_state_header(calculation, silent):
 
 def restricted_excited_states(g, epsilons, o, v, calculation, silent=False,
                               K_XC_singlet=None, K_XC_triplet=None):
-    """Singlet / triplet CIS or TDHF states for a closed-shell reference."""
+    """Singlet / triplet CIS or TDHF states for a closed-shell reference.
+    g is the chemists' MO tensor, used directly by the rpa builders."""
     if "CIS" in calculation.method.name:
         calculation.tamm_dancoff_approximation = True
     _print_excited_state_header(calculation, silent)
     timer("Excited state calculation", 0)
 
-    g = jnp.asarray(g).transpose(0, 2, 1, 3)  # chemists' -> physicists'
     tda = calculation.tamm_dancoff_approximation
+    hfx = calculation.HFX_prop
+    epsilons = jnp.asarray(epsilons)
 
     log("\n  Building excited state Hamiltonian...      ", calculation, 1, end="", silent=silent)
-    A_s = A_t = B_s = B_t = None
+    amb = None if tda else rpa.restricted_amb(g, epsilons, o, v, hfx)
+    channels = {}
     if not calculation.calculate_no_singlets:
-        A_s = response.singlet_A(calculation, g, epsilons, o, v, K_XC_singlet)
-        if not tda:
-            B_s = response.singlet_B(calculation, g, o, v, K_XC_singlet)
+        channels["singlet"] = (
+            rpa.restricted_tda_matrix(g, epsilons, o, v, hfx, "singlet", K_XC_singlet)
+            if tda else
+            rpa.restricted_apb(g, epsilons, o, v, hfx, "singlet", K_XC_singlet))
     if not calculation.calculate_no_triplets:
-        A_t = response.triplet_A(calculation, g, epsilons, o, v, K_XC_triplet)
-        if not tda:
-            B_t = response.triplet_B(calculation, g, o, v, K_XC_triplet)
+        channels["triplet"] = (
+            rpa.restricted_tda_matrix(g, epsilons, o, v, hfx, "triplet", K_XC_triplet)
+            if tda else
+            rpa.restricted_apb(g, epsilons, o, v, hfx, "triplet", K_XC_triplet))
     log("[Done]", calculation, 1, silent=silent)
 
     log("  Diagonalising Hamiltonian...               ", calculation, 1, end="", silent=silent)
-    if tda:
-        singlet_energies, singlet_vectors = solve_tda(A_s)
-        triplet_energies, triplet_vectors = solve_tda(A_t)
-    else:
-        singlet_energies, singlet_vectors = solve_casida(A_s, B_s)
-        triplet_energies, triplet_vectors = solve_casida(A_t, B_t)
+    results = {}
+    for channel, M in channels.items():
+        if tda:
+            results[channel] = _solve_channel(True, None, None, M)
+        else:
+            results[channel] = _solve_channel(False, M, amb, None)
     log("[Done]", calculation, 1, silent=silent)
 
     timer("Excited state calculation", 1)
-    return singlet_energies, triplet_energies, singlet_vectors, triplet_vectors
+    singlet = results.get("singlet", (None, None))
+    triplet = results.get("triplet", (None, None))
+    return singlet[0], triplet[0], singlet[1], triplet[1]
 
 
-def unrestricted_excited_states(g, epsilons, o, v, n_occ, n_virt, spin_labels,
-                                calculation, silent=False, K_XC=None):
+def unrestricted_excited_states(g_scaled, epsilons, o, v, n_occ, n_virt,
+                                spin_labels, calculation, silent=False, K_XC=None):
     """Spin-conserving CIS or TDHF states for an unrestricted reference."""
     if "CIS" in calculation.method.name:
         calculation.tamm_dancoff_approximation = True
     _print_excited_state_header(calculation, silent)
     timer("Excited state calculation", 0)
 
-    spin_occ = np.array(spin_labels)[o]
-    spin_virt = np.array(spin_labels)[v]
-    conserving = (spin_occ[:, None] == spin_virt[None, :]).ravel()
-    n_conserving = int(np.sum(conserving))
+    keep = _spin_conserving_indices(spin_labels, o, v)
+    n_keep = len(keep)
+    epsilons = jnp.asarray(epsilons)
 
     log("  Building excited state Hamiltonian...      ", calculation, 1, end="", silent=silent)
-    A = np.asarray(response.spin_orbital_A(calculation, g, epsilons, o, v, K_XC))
-    A = A[np.ix_(conserving, conserving)]
-    log("[Done]", calculation, 1, silent=silent)
-
-    log("  Diagonalising Hamiltonian...               ", calculation, 1, end="", silent=silent)
     if calculation.tamm_dancoff_approximation:
-        energies, vectors = np.linalg.eigh(A)
+        A = np.asarray(rpa.spin_orbital_tda_matrix(g_scaled, epsilons, o, v, K_XC))
+        A = A[np.ix_(keep, keep)]
+        log("[Done]", calculation, 1, silent=silent)
+        log("  Diagonalising Hamiltonian...               ", calculation, 1, end="", silent=silent)
+        energies, vectors = _solve_channel(True, None, None, jnp.asarray(A))
         full_vectors = np.zeros((n_occ * n_virt, len(energies)))
-        full_vectors[conserving, :] = vectors
+        full_vectors[keep, :] = vectors
     else:
-        B = np.asarray(response.spin_orbital_B(calculation, g, o, v, K_XC))
-        B = B[np.ix_(conserving, conserving)]
-        energies, vectors = solve_casida(A, B)
+        apb = np.asarray(rpa.spin_orbital_apb(g_scaled, epsilons, o, v, K_XC))
+        amb = np.asarray(rpa.spin_orbital_amb(g_scaled, epsilons, o, v))
+        apb = jnp.asarray(apb[np.ix_(keep, keep)])
+        amb = jnp.asarray(amb[np.ix_(keep, keep)])
+        log("[Done]", calculation, 1, silent=silent)
+        log("  Diagonalising Hamiltonian...               ", calculation, 1, end="", silent=silent)
+        energies, vectors = _solve_channel(False, apb, amb, None)
         full_vectors = np.zeros((2 * n_occ * n_virt, len(energies)))
-        full_vectors[:n_occ * n_virt][conserving, :] = vectors[:n_conserving]
-        full_vectors[n_occ * n_virt:][conserving, :] = vectors[n_conserving:]
+        full_vectors[:n_occ * n_virt][keep, :] = vectors[:n_keep]
+        full_vectors[n_occ * n_virt:][keep, :] = vectors[n_keep:]
     log("[Done]", calculation, 1, silent=silent)
 
     timer("Excited state calculation", 1)
@@ -254,31 +259,38 @@ def unrestricted_excited_states(g, epsilons, o, v, n_occ, n_virt, spin_labels,
 
 
 # ---------------------------------------------------------------------------
-# Transition properties
+# Transition properties (batched over states, on device)
 # ---------------------------------------------------------------------------
 
 def calculate_oscillator_strengths(transition_dipoles, excitation_energies):
     return (2.0 / 3.0) * excitation_energies * transition_dipoles**2
 
 
-def _transition_dipole_norms(D_MO, vectors, n_occ, n_virt, o, v):
-    norms = []
-    for state in range(vectors.shape[1]):
-        X, Y = split_state_vector(vectors[:, state], n_occ, n_virt)
-        trans = X + Y
-        norms.append(np.linalg.norm([np.sum(np.asarray(M)[o, v] * trans)
-                                     for M in D_MO]))
-    return norms
+@jax.jit
+def _dipole_norms_batched(D_ov, F_states):
+    """D_ov: (3, no, nv) MO dipole blocks; F_states: (n_states, no, nv) X+Y
+    amplitudes.  One contraction for all states and components."""
+    amplitudes = jnp.tensordot(F_states, D_ov, axes=((1, 2), (1, 2)))
+    return jnp.linalg.norm(amplitudes, axis=1)
+
+
+def _transition_amplitudes(vectors, n_occ, n_virt):
+    """X+Y per state, stacked (n_states, no, nv)."""
+    n_ia = n_occ * n_virt
+    V = np.asarray(vectors)
+    F = V[:n_ia] + (V[n_ia:] if V.shape[0] == 2 * n_ia else 0.0)
+    return jnp.asarray(F.T.reshape(-1, n_occ, n_virt))
 
 
 def restricted_transition_dipoles(SCF_output, singlet_vectors, triplet_vectors,
                                   n_occ, n_virt, o, v):
     C = jnp.asarray(SCF_output.molecular_orbitals)
-    D_MO = [transforms.transform_matrix_ao_to_so(jnp.asarray(M), C)
-            for M in SCF_output.D]
+    D_ov = jnp.stack([transforms.transform_matrix_ao_to_so(jnp.asarray(M), C)[o, v]
+                      for M in SCF_output.D])
     dipoles = []
-    if singlet_vectors is not None:
-        dipoles += _transition_dipole_norms(D_MO, singlet_vectors, n_occ, n_virt, o, v)
+    if singlet_vectors is not None and singlet_vectors.shape[1]:
+        F = _transition_amplitudes(singlet_vectors, n_occ, n_virt)
+        dipoles += list(np.asarray(_dipole_norms_batched(D_ov, F)))
     if triplet_vectors is not None:
         dipoles += [0.0] * triplet_vectors.shape[1]  # spin-forbidden
     return np.array(dipoles) * np.sqrt(2.0)
@@ -286,10 +298,11 @@ def restricted_transition_dipoles(SCF_output, singlet_vectors, triplet_vectors,
 
 def unrestricted_transition_dipoles(SCF_output, vectors, n_occ, n_virt, o, v,
                                     C_spin_block):
-    D_SO = [transforms.transform_matrix_ao_to_so(
-        transforms.spin_block_matrix(jnp.asarray(M)), jnp.asarray(C_spin_block))
-        for M in SCF_output.D]
-    return np.array(_transition_dipole_norms(D_SO, vectors, n_occ, n_virt, o, v))
+    D_ov = jnp.stack([transforms.transform_matrix_ao_to_so(
+        transforms.spin_block_matrix(jnp.asarray(M)), jnp.asarray(C_spin_block))[o, v]
+        for M in SCF_output.D])
+    F = _transition_amplitudes(vectors, n_occ, n_virt)
+    return np.asarray(_dipole_norms_batched(D_ov, F))
 
 
 # ---------------------------------------------------------------------------
@@ -297,9 +310,10 @@ def unrestricted_transition_dipoles(SCF_output, vectors, n_occ, n_virt, o, v,
 # ---------------------------------------------------------------------------
 
 def _difference_density_MO(X, Y, n_orbitals, o, v):
-    P = np.zeros((n_orbitals, n_orbitals))
-    P[v, v] = np.einsum("ia,ib->ab", X, X) + np.einsum("ia,ib->ab", Y, Y)
-    P[o, o] = -(np.einsum("ia,ja->ij", X, X) + np.einsum("ia,ja->ij", Y, Y))
+    X, Y = jnp.asarray(X), jnp.asarray(Y)
+    P = jnp.zeros((n_orbitals, n_orbitals))
+    P = P.at[v, v].set(X.T @ X + Y.T @ Y)
+    P = P.at[o, o].set(-(X @ X.T + Y @ Y.T))
     return P
 
 
@@ -313,14 +327,14 @@ def excited_state_energy_and_density(excitation_energies, excitation_vectors,
 
     if restricted:
         P_diff_MO = _difference_density_MO(X, Y, np.asarray(SCF_output.P).shape[0], o, v)
-        C = np.asarray(orbitals)
-        P_diff = C @ P_diff_MO @ C.T
+        C = jnp.asarray(orbitals)
+        P_diff = np.asarray(C @ P_diff_MO @ C.T)
         P_diff_alpha = P_diff_beta = P_diff / 2.0
     else:
         n_SO = np.asarray(orbitals).shape[1]
         P_diff_MO = _difference_density_MO(X, Y, n_SO, o, v)
         P_diff, P_diff_alpha, P_diff_beta = transforms.density_so_to_ao(
-            jnp.asarray(P_diff_MO), jnp.asarray(orbitals), n_SO)
+            P_diff_MO, jnp.asarray(orbitals), n_SO)
         P_diff, P_diff_alpha, P_diff_beta = (np.asarray(P_diff),
                                              np.asarray(P_diff_alpha),
                                              np.asarray(P_diff_beta))
@@ -401,6 +415,10 @@ def print_state_contributions(calculation, silent, excitation_energies,
 # ---------------------------------------------------------------------------
 # CIS(D) perturbative doubles correction
 # ---------------------------------------------------------------------------
+# Head-Gordon, Rico, Oumi, Lee, CPL 219, 21 (1994).  Factorised through
+# one-index-contracted intermediates: the "indirect" triple contractions of
+# the paper (and of tuna_ci.py:1870-2145) reduce to two oo/vv matrices and
+# one ov seed, so each term is a single matmul against the CIS amplitude.
 
 def _print_doubles_result(E_D, E_D_scaled, excitation_energy, calculation, silent):
     log(f"\n  Original excitation energy:       {excitation_energy:15.10f}", calculation, 1, silent=silent)
@@ -412,10 +430,46 @@ def _print_doubles_result(E_D, E_D_scaled, excitation_energy, calculation, silen
     log_spacer(calculation, silent=silent)
 
 
+@jax.jit
+def _restricted_doubles_pieces(gc, b_ia, e_ijab):
+    """Device core of spin-adapted CIS(D).  gc is the chemists' MO tensor
+    sliced by the caller into the four blocks used here."""
+    g_vvvo, g_vovv, g_oovo, g_ovov = gc
+    # Doubles excitation amplitudes driven by the CIS vector: two particle
+    # attachments and two hole attachments of b
+    p1 = jnp.tensordot(b_ia, g_vvvo, axes=(1, 1)).transpose(0, 3, 1, 2)
+    p2 = jnp.tensordot(g_vovv, b_ia, axes=(3, 1)).transpose(1, 3, 0, 2)
+    h1 = jnp.tensordot(g_oovo, b_ia, axes=(0, 0)).transpose(2, 0, 1, 3)
+    h2 = jnp.tensordot(g_oovo, b_ia, axes=(0, 0)).transpose(0, 2, 3, 1)
+
+    u_S = p1 + p2 - h1 - h2
+    u_T = p1 - p2 + h1 - h2
+
+    # MP2 ground-state amplitudes and the J/K orderings of (ov|ov)
+    J = g_ovov.transpose(0, 2, 1, 3)
+    K = g_ovov.transpose(0, 2, 3, 1)
+    t = J * e_ijab
+    u2 = 2.0 * t - t.swapaxes(2, 3)
+
+    # Indirect intermediates: everything except the final contraction with b
+    half_JmK = 0.5 * J - K
+    half_KmJ = 0.5 * K - J
+    Woo = (jnp.tensordot(half_JmK, t, axes=((1, 2, 3), (1, 3, 2)))
+           + jnp.tensordot(half_KmJ, t, axes=((1, 2, 3), (1, 2, 3))))
+    Wvv = (jnp.tensordot(half_JmK, t, axes=((0, 1, 3), (0, 1, 2)))
+           + jnp.tensordot(half_KmJ, t, axes=((0, 1, 3), (0, 1, 3))))
+    seed_S = jnp.tensordot(2.0 * J - K, b_ia, axes=((0, 2), (0, 1)))
+    seed_T = jnp.tensordot(K, b_ia, axes=((0, 2), (0, 1)))
+
+    v_common = Woo.T @ b_ia + b_ia @ Wvv
+    v_S = v_common + jnp.tensordot(u2, seed_S, axes=((1, 3), (0, 1)))
+    v_T = v_common + jnp.tensordot(t.swapaxes(2, 3), seed_T, axes=((1, 3), (0, 1)))
+    return u_S, u_T, v_S, v_T
+
+
 def restricted_doubles_correction(excitation_energy, epsilons, root, g, o, v,
                                   b_ia, state_type, calculation, silent=False):
-    """Spin-adapted CIS(D) (Head-Gordon, Rico, Oumi, Lee, CPL 219, 21 (1994);
-    parity: tuna_ci.py:1870-2014)."""
+    """Spin-adapted CIS(D); g is the chemists' MO tensor."""
     log_spacer(calculation, silent=silent, start="\n")
     log("          Perturbative Doubles Correction", calculation, 1, silent=silent)
     log_spacer(calculation, silent=silent)
@@ -427,61 +481,60 @@ def restricted_doubles_correction(excitation_energy, epsilons, root, g, o, v,
     epsilons = jnp.asarray(epsilons)
     e_ijab = transforms.doubles_epsilons(epsilons, epsilons, o, o, v, v)
     shifted = 1.0 / (1.0 / e_ijab + excitation_energy)
-    t_ijab = g[o, o, v, v] * e_ijab
+
+    blocks = (g[v, v, v, o], g[v, o, v, v], g[o, o, v, o], g[o, v, o, v])
+    u_S, u_T, v_S, v_T = _restricted_doubles_pieces(blocks, b_ia, e_ijab)
     log("  [Done]", calculation, 1, silent=silent)
 
     log("\n  Calculating direct contribution...  ", calculation, 1, end="", silent=silent)
-    particle_1 = jnp.einsum("abcj,ic->ijab", g[v, v, v, o], b_ia, optimize=True)
-    particle_2 = jnp.einsum("abic,jc->ijab", g[v, v, o, v], b_ia, optimize=True)
-    hole_1 = jnp.einsum("kaji,kb->ijab", g[o, v, o, o], b_ia, optimize=True)
-    hole_2 = jnp.einsum("kbij,ka->ijab", g[o, v, o, o], b_ia, optimize=True)
+    def weighted(x, y):
+        return float(jnp.sum(shifted * x * y))
 
-    u_S = particle_1 + particle_2 - hole_1 - hole_2
-    u_T = particle_1 - particle_2 + hole_1 - hole_2
     u_S_x = u_S.transpose(1, 0, 2, 3)
-
-    def pair_sum(x, y):
-        return float(jnp.einsum("ijab,ijab,ijab->", shifted, x, y, optimize=True))
-
     if state_type == "singlet":
-        E_direct = pair_sum(u_S, u_S) - 0.5 * pair_sum(u_S, u_S_x)
+        E_direct = weighted(u_S, u_S) - 0.5 * weighted(u_S, u_S_x)
+        v_ia = v_S
     else:
-        E_direct = (0.5 * pair_sum(u_S, u_S) - 0.5 * pair_sum(u_S, u_S_x)
-                    + 0.5 * pair_sum(u_T, u_T))
+        E_direct = (0.5 * weighted(u_S, u_S) - 0.5 * weighted(u_S, u_S_x)
+                    + 0.5 * weighted(u_T, u_T))
+        v_ia = v_T
     log("       [Done]", calculation, 1, silent=silent)
 
     log("  Calculating indirect contribution...  ", calculation, 1, end="", silent=silent)
-    J = g[o, o, v, v]
-    K = g[o, o, v, v].swapaxes(2, 3)
-    u2 = 2.0 * t_ijab - t_ijab.transpose(0, 1, 3, 2)
-
-    if state_type == "singlet":
-        v_ia = jnp.einsum("jkbc,jb,ikac->ia", 2 * J - K, b_ia, u2, optimize=True)
-    else:
-        v_ia = jnp.einsum("jkbc,jb,ikac->ia", K, b_ia,
-                          t_ijab.transpose(0, 1, 3, 2), optimize=True)
-
-    v_ia = v_ia + (0.5 * jnp.einsum("jkbc,ja,ikcb->ia", J, b_ia, t_ijab, optimize=True)
-                   - jnp.einsum("jkbc,ja,ikbc->ia", J, b_ia, t_ijab, optimize=True)
-                   - jnp.einsum("jkbc,ja,ikcb->ia", K, b_ia, t_ijab, optimize=True)
-                   + 0.5 * jnp.einsum("jkbc,ja,ikbc->ia", K, b_ia, t_ijab, optimize=True))
-    v_ia = v_ia + (0.5 * jnp.einsum("jkbc,ib,jkca->ia", J, b_ia, t_ijab, optimize=True)
-                   - jnp.einsum("jkbc,ib,jkac->ia", J, b_ia, t_ijab, optimize=True)
-                   - jnp.einsum("jkbc,ib,jkca->ia", K, b_ia, t_ijab, optimize=True)
-                   + 0.5 * jnp.einsum("jkbc,ib,jkac->ia", K, b_ia, t_ijab, optimize=True))
+    E_indirect = float(jnp.sum(b_ia * v_ia))
     log("     [Done]", calculation, 1, silent=silent)
 
     log("\n  Calculating doubles correction...         ", calculation, 1, end="", silent=silent)
-    E_D = E_direct + float(jnp.einsum("ia,ia->", b_ia, v_ia, optimize=True))
+    E_D = E_direct + E_indirect
     E_D_scaled = (E_D * calculation.MPC_prop
                   if calculation.MPC_requested or calculation.DFT_calculation else E_D)
     _print_doubles_result(E_D, E_D_scaled, excitation_energy, calculation, silent)
     return E_D_scaled
 
 
+@jax.jit
+def _unrestricted_doubles_pieces(g_vvvo, g_ovoo, g_oovv, b_ia, e_ijab):
+    """Spin-orbital CIS(D) core; g blocks are the antisymmetrised
+    physicists' tensor."""
+    def antisym(M, ax1, ax2):
+        return M - M.swapaxes(ax1, ax2)
+
+    p = jnp.tensordot(b_ia, g_vvvo, axes=(1, 2)).transpose(0, 3, 1, 2)
+    h = jnp.tensordot(g_ovoo, b_ia, axes=(0, 0)).transpose(1, 2, 0, 3)
+    u = antisym(p, 0, 1) + antisym(h, 2, 3)
+
+    t = g_oovv * e_ijab
+    Wvv = jnp.tensordot(g_oovv, t, axes=((0, 1, 3), (0, 1, 2)))
+    Woo = jnp.tensordot(g_oovv, t, axes=((1, 2, 3), (1, 3, 2)))
+    seed = jnp.tensordot(g_oovv, b_ia, axes=((0, 2), (0, 1)))
+    v_ia = (0.5 * b_ia @ Wvv + 0.5 * Woo.T @ b_ia
+            + jnp.tensordot(t, seed, axes=((1, 3), (0, 1))))
+    return u, v_ia
+
+
 def unrestricted_doubles_correction(excitation_energy, epsilons, root, g, o, v,
                                     b_ia, calculation, silent=False):
-    """Spin-orbital CIS(D) (parity: tuna_ci.py:2024-2145)."""
+    """Spin-orbital CIS(D)."""
     log_spacer(calculation, silent=silent, start="\n")
     log("          Perturbative Doubles Correction", calculation, 1, silent=silent)
     log_spacer(calculation, silent=silent)
@@ -493,25 +546,20 @@ def unrestricted_doubles_correction(excitation_energy, epsilons, root, g, o, v,
     epsilons = jnp.asarray(epsilons)
     e_ijab = transforms.doubles_epsilons(epsilons, epsilons, o, o, v, v)
     shifted = 1.0 / (1.0 / e_ijab + excitation_energy)
-    t_ijab = g[o, o, v, v] * e_ijab
+
+    u, v_ia = _unrestricted_doubles_pieces(
+        g[v, v, v, o], g[o, v, o, o], g[o, o, v, v], b_ia, e_ijab)
     log("[Done]", calculation, 1, silent=silent)
 
     log("\n  Calculating direct contribution...         ", calculation, 1, end="", silent=silent)
-    u_ijab = (jnp.einsum("abcj,ic->ijab", g[v, v, v, o], b_ia, optimize=True)
-              - jnp.einsum("abci,jc->ijab", g[v, v, v, o], b_ia, optimize=True)
-              + jnp.einsum("kaij,kb->ijab", g[o, v, o, o], b_ia, optimize=True)
-              - jnp.einsum("kbij,ka->ijab", g[o, v, o, o], b_ia, optimize=True))
+    E_direct = 0.25 * float(jnp.sum(u * u * shifted))
     log("[Done]", calculation, 1, silent=silent)
-
     log("  Calculating indirect contribution...       ", calculation, 1, end="", silent=silent)
-    v_ia = (0.5 * jnp.einsum("jkbc,ib,jkca->ia", g[o, o, v, v], b_ia, t_ijab, optimize=True)
-            + 0.5 * jnp.einsum("jkbc,ja,ikcb->ia", g[o, o, v, v], b_ia, t_ijab, optimize=True)
-            + jnp.einsum("jkbc,jb,ikac->ia", g[o, o, v, v], b_ia, t_ijab, optimize=True))
+    E_indirect = float(jnp.sum(b_ia * v_ia))
     log("[Done]", calculation, 1, silent=silent)
 
     log("\n  Calculating doubles correction...          ", calculation, 1, end="", silent=silent)
-    E_D = (0.25 * float(jnp.einsum("ijab,ijab,ijab->", u_ijab, u_ijab, shifted, optimize=True))
-           + float(jnp.einsum("ia,ia->", b_ia, v_ia, optimize=True)))
+    E_D = E_direct + E_indirect
     log("[Done]", calculation, 1, silent=silent)
 
     E_D_scaled = (E_D * calculation.MPC_prop
@@ -529,8 +577,8 @@ def run_perturbative_doubles(state, n_occ, n_virt, excitation_vectors, g,
 
     if calculation.reference == "RHF":
         E_CIS_D = restricted_doubles_correction(
-            state_result[1], epsilons, state, jnp.asarray(g).transpose(0, 2, 1, 3),
-            o, v, b_ia, state_types[state], calculation, silent)
+            state_result[1], epsilons, state, g, o, v, b_ia,
+            state_types[state], calculation, silent)
     else:
         E_CIS_D = unrestricted_doubles_correction(
             state_result[1], epsilons, state, g, o, v, b_ia, calculation, silent)
@@ -546,7 +594,7 @@ def run_perturbative_doubles(state, n_occ, n_virt, excitation_vectors, g,
 
 def run_excited_state_calculation(molecule, calculation, SCF_output,
                                   bfs_on_grid=None, weights=None, silent=False):
-    """TD-HF / TD-DFT / CIS(-D) excited states (parity: tuna_ci.py:2146-2299)."""
+    """TD-HF / TD-DFT / CIS(-D) excited states."""
     if calculation.calculate_no_singlets and calculation.calculate_no_triplets:
         error("There are no excited states to calculate!")
     if (calculation.method.density_functional_method
@@ -600,7 +648,8 @@ def run_excited_state_calculation(molecule, calculation, SCF_output,
                 o, v, SCF_output.P_alpha, SCF_output.P_beta, bfs_on_grid,
                 C_spin_block, spin_labels, calculation, weights, silent)
 
-        g_scaled = jnp.asarray(ERI_SO) - calculation.HFX_prop * jnp.asarray(ERI_SO).transpose(0, 1, 3, 2)
+        g_scaled = (jnp.asarray(ERI_SO)
+                    - calculation.HFX_prop * jnp.asarray(ERI_SO).transpose(0, 1, 3, 2))
         excitation_energies, excitation_vectors = unrestricted_excited_states(
             g_scaled, epsilons, o, v, n_occ, n_virt, spin_labels, calculation,
             silent, K_XC)

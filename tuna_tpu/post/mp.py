@@ -19,7 +19,7 @@ import numpy as np
 from ..ops import linalg
 from ..output import error, log, log_spacer, timer
 from ..scf.guess import natural_orbitals_of_density
-from . import response, transforms
+from . import rpa, transforms
 
 
 # ---------------------------------------------------------------------------
@@ -69,67 +69,65 @@ def _log_scs(calculation, silent):
 # ---------------------------------------------------------------------------
 # Relaxed (response) densities via Z-vector equations
 # ---------------------------------------------------------------------------
+# The orbital relaxation z solves ONE (A+B) system built by post.rpa; the
+# occupied-virtual Lagrangian is assembled below as plain tensordots over the
+# chemists' MO tensor (restricted) / antisymmetrised spin-orbital tensor
+# (unrestricted).  Capability parity: tuna_mp.py:177-402, re-derived here in
+# generalised-Fock form with the response solve on device.
 
-def _frozen_core_response(P0, amp_weights, g, epsilons, o, v, spin_adapted):
-    """Frozen-occupied rotation contribution to the response density: the
-    Lagrangian coupling between frozen and active occupied orbitals, divided
-    by the orbital-energy gap."""
+def _frozen_core_rotation(P0, w, gc, epsilons, o, v, spin_adapted):
+    """Frozen-active occupied rotation block: the Lagrangian coupling between
+    frozen and active occupied orbitals over the orbital-energy gap.  gc is
+    chemists' for the spin-adapted path, spin-orbital physicists' otherwise."""
     n_frozen = 0 if o.start is None else o.start
     if n_frozen == 0:
         return P0
     f = slice(0, n_frozen)
-    rhs = jnp.einsum("ijab,Fjab->Fi", amp_weights, g[f, o, v, v], optimize=True)
     if spin_adapted:
-        rhs = rhs + jnp.einsum("jibc,jFbc->Fi", amp_weights, g[o, f, v, v],
-                               optimize=True)
-    z_fo = rhs / (epsilons[o][None, :] - epsilons[f][:, None])
+        # sum_jab w[i,j,a,b] (Fa|jb)  +  sum_jbc w[j,i,b,c] (jb|Fc)
+        L_fo = (jnp.tensordot(gc[f, v, o, v], w, axes=((1, 2, 3), (2, 1, 3)))
+                + jnp.tensordot(gc[o, v, f, v], w, axes=((0, 1, 3), (0, 2, 3))))
+    else:
+        # sum_jab w[i,j,a,b] <Fj|ab>
+        L_fo = jnp.tensordot(gc[f, o, v, v], w, axes=((1, 2, 3), (1, 2, 3)))
+    z_fo = L_fo / (epsilons[o][None, :] - epsilons[f][:, None])
     P0 = P0.at[f, o].add(0.5 * z_fo)
     P0 = P0.at[o, f].add(0.5 * z_fo.T)
     return P0
 
 
-def _solve_zvector(rhs_ov, A_plus_B, n_occ, n_virt):
-    z, _ = linalg.solve_symmetric(A_plus_B, -rhs_ov.ravel())
-    return z.reshape(n_occ, n_virt)
-
-
-def _restricted_relaxed_density(P_unrelaxed, amp_weights, g, epsilons, o, v,
+def _restricted_relaxed_density(P_unrelaxed, amp_weights, gc, epsilons, o, v,
                                 n_occ, n_virt, calculation, K_XC, K_XC_full):
-    """Spin-adapted Z-vector (response) MP2 density.
-
-    amp_weights are the pre-scaled amplitude combinations entering the
-    Lagrangian; g is the full physicists' MO tensor.  The orbital-response
-    z is obtained from one (A+B) linear solve (capability parity:
-    tuna_mp.py:177-279, restructured on device)."""
-    g = jnp.asarray(g)
-    amp_weights = jnp.asarray(amp_weights)
+    """Spin-adapted Z-vector (response) MP2 density; gc is the full chemists'
+    MO tensor, amp_weights the pre-scaled amplitude combinations."""
+    gc = jnp.asarray(gc)
+    w = jnp.asarray(amp_weights)
     epsilons = jnp.asarray(epsilons)
     oa = slice(0, n_occ)  # all occupied, frozen included
 
-    # amplitude part of the occupied-virtual Lagrangian
-    rhs = jnp.zeros((n_occ, n_virt))
-    rhs = rhs.at[o, :].add(
-        jnp.einsum("ijbc,ajbc->ia", amp_weights, g[v, o, v, v], optimize=True)
-        + jnp.einsum("jibc,jabc->ia", amp_weights, g[o, v, v, v], optimize=True))
-    rhs = rhs - (jnp.einsum("jkab,jkib->ia", amp_weights, g[o, o, oa, v], optimize=True)
-                 + jnp.einsum("jkba,jkbi->ia", amp_weights, g[o, o, v, oa], optimize=True))
+    # Amplitude part of the ov Lagrangian: two particle and two hole terms
+    L_active = (jnp.tensordot(w, gc[v, v, o, v], axes=((1, 2, 3), (2, 1, 3)))
+                + jnp.tensordot(w, gc[o, v, v, v], axes=((0, 2, 3), (0, 1, 3))))
+    L_hole = (jnp.tensordot(w, gc[o, oa, o, v], axes=((0, 1, 3), (0, 2, 3)))
+              + jnp.tensordot(w, gc[o, v, o, oa], axes=((0, 1, 2), (0, 2, 1))))
+    L = jnp.zeros((n_occ, n_virt)).at[o, :].add(L_active) - L_hole.T
 
-    P_relaxed = _frozen_core_response(jnp.asarray(P_unrelaxed), amp_weights, g,
+    P_relaxed = _frozen_core_rotation(jnp.asarray(P_unrelaxed), w, gc,
                                       epsilons, o, v, spin_adapted=True)
 
-    # generalised-Fock part, driven by the (frozen-corrected) density
+    # Generalised-Fock part, driven by the (frozen-corrected) density:
+    # 4 J[P] - c_x (K[P] + K[P^T]) in the (i,a) block
     hfx = calculation.HFX_prop
-    rhs_fock = 4.0 * jnp.einsum("pq,apiq->ia", P_relaxed, g[v, :, oa, :], optimize=True)
-    rhs_fock = rhs_fock - hfx * (
-        jnp.einsum("pq,aipq->ia", P_relaxed, g[v, oa, :, :], optimize=True)
-        + jnp.einsum("pq,aiqp->ia", P_relaxed, g[v, oa, :, :], optimize=True))
+    L_fock = 4.0 * jnp.tensordot(gc[v, oa, :, :], P_relaxed, axes=2).T
+    L_fock = L_fock - hfx * (
+        jnp.tensordot(gc[v, :, oa, :], P_relaxed, axes=((1, 3), (0, 1)))
+        + jnp.tensordot(gc[v, :, oa, :], P_relaxed, axes=((1, 3), (1, 0)))).T
     if K_XC_full is not None:
-        rhs_fock = rhs_fock + 2.0 * jnp.einsum("iapq,pq->ia", jnp.asarray(K_XC_full),
-                                               P_relaxed, optimize=True)
+        L_fock = L_fock + 2.0 * jnp.einsum("iapq,pq->ia", jnp.asarray(K_XC_full),
+                                           P_relaxed, optimize=True)
 
-    A = response.singlet_A(calculation, g, epsilons, oa, v, K_XC)
-    B = response.singlet_B(calculation, g, oa, v, K_XC)
-    z = _solve_zvector(rhs_fock + rhs, jnp.asarray(A) + jnp.asarray(B), n_occ, n_virt)
+    apb = rpa.restricted_apb(gc, epsilons, oa, v, hfx, "singlet", K_XC)
+    z = rpa.zvector_solve(apb, L + L_fock)
     P_relaxed = P_relaxed.at[oa, v].add(0.5 * z)
     P_relaxed = P_relaxed.at[v, oa].add(0.5 * z.T)
     return P_relaxed
@@ -138,30 +136,30 @@ def _restricted_relaxed_density(P_unrelaxed, amp_weights, g, epsilons, o, v,
 def _unrestricted_relaxed_density(P_unrelaxed, amp_weights, g, ERI_SO, epsilons,
                                   o, v, n_occ, n_virt, calculation, K_XC,
                                   K_XC_full):
-    """Spin-orbital Z-vector MP2 density (parity: tuna_mp.py:290-392)."""
+    """Spin-orbital Z-vector MP2 density; g is the antisymmetrised
+    physicists' tensor."""
     g = jnp.asarray(g)
-    amp_weights = jnp.asarray(amp_weights)
+    w = jnp.asarray(amp_weights)
     epsilons = jnp.asarray(epsilons)
     oa = slice(0, n_occ)
 
-    rhs = jnp.zeros((n_occ, n_virt))
-    rhs = rhs.at[o, :].add(
-        jnp.einsum("ijbc,ajbc->ia", amp_weights, g[v, o, v, v], optimize=True))
-    rhs = rhs - jnp.einsum("jkab,jkib->ia", amp_weights, g[o, o, oa, v], optimize=True)
+    L_active = jnp.tensordot(w, g[v, o, v, v], axes=((1, 2, 3), (1, 2, 3)))
+    L_hole = jnp.tensordot(w, g[o, o, oa, v], axes=((0, 1, 3), (0, 1, 3)))
+    L = jnp.zeros((n_occ, n_virt)).at[o, :].add(L_active) - L_hole.T
 
-    P_relaxed = _frozen_core_response(jnp.asarray(P_unrelaxed), amp_weights, g,
+    P_relaxed = _frozen_core_rotation(jnp.asarray(P_unrelaxed), w, g,
                                       epsilons, o, v, spin_adapted=False)
 
-    g_response = jnp.asarray(ERI_SO) - calculation.HFX_prop * jnp.asarray(ERI_SO).transpose(0, 1, 3, 2)
-    rhs_fock = 2.0 * jnp.einsum("pq,apiq->ia", P_relaxed, g_response[v, :, oa, :],
-                                optimize=True)
+    g_response = (jnp.asarray(ERI_SO)
+                  - calculation.HFX_prop * jnp.asarray(ERI_SO).transpose(0, 1, 3, 2))
+    L_fock = 2.0 * jnp.tensordot(g_response[v, :, oa, :], P_relaxed,
+                                 axes=((1, 3), (0, 1))).T
     if K_XC_full is not None:
-        rhs_fock = rhs_fock + 2.0 * jnp.einsum("iapq,pq->ia", jnp.asarray(K_XC_full),
-                                               P_relaxed, optimize=True)
+        L_fock = L_fock + 2.0 * jnp.einsum("iapq,pq->ia", jnp.asarray(K_XC_full),
+                                           P_relaxed, optimize=True)
 
-    A = response.spin_orbital_A(calculation, g_response, epsilons, oa, v, K_XC)
-    B = response.spin_orbital_B(calculation, g_response, oa, v, K_XC)
-    z = _solve_zvector(rhs_fock + rhs, jnp.asarray(A) + jnp.asarray(B), n_occ, n_virt)
+    apb = rpa.spin_orbital_apb(g_response, epsilons, oa, v, K_XC)
+    z = rpa.zvector_solve(apb, L + L_fock)
     P_relaxed = P_relaxed.at[oa, v].add(0.5 * z)
     P_relaxed = P_relaxed.at[v, oa].add(0.5 * z.T)
     return P_relaxed
@@ -226,13 +224,15 @@ def run_restricted_MP2(ERI_MO, epsilons, molecular_orbitals, o, v, X, calculatio
     P_SS = jnp.zeros((n_basis, n_basis)).at[o, o].add(oo_SS).at[v, v].add(vv_SS)
 
     if calculation.relaxed_density:
+        g_ijab = ERI_phys[o, o, v, v]
         w_OS = 2.0 * g_ijab * e_ijab
-        w_SS = 2.0 * g_ijab_asym * e_ijab
+        w_SS = 2.0 * (g_ijab - g_ijab.swapaxes(2, 3)) * e_ijab
         n_virt = n_basis - molecule.n_doubly_occ
-        P_OS = _restricted_relaxed_density(P_OS, w_OS, ERI_phys, epsilons, o, v,
+        epsilons = jnp.asarray(epsilons)
+        P_OS = _restricted_relaxed_density(P_OS, w_OS, ERI_MO, epsilons, o, v,
                                            molecule.n_doubly_occ, n_virt,
                                            calculation, K_XC, K_XC_full)
-        P_SS = _restricted_relaxed_density(P_SS, w_SS, ERI_phys, epsilons, o, v,
+        P_SS = _restricted_relaxed_density(P_SS, w_SS, ERI_MO, epsilons, o, v,
                                            molecule.n_doubly_occ, n_virt,
                                            calculation, K_XC, K_XC_full)
 
