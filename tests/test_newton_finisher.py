@@ -83,6 +83,38 @@ def test_newton_matches_f64_solver(n2_sto3g, method):
     assert float(jnp.max(jnp.abs(t2_n - t2_64))) < 1e-8
 
 
+def test_newton_with_ozaki_residual(n2_sto3g):
+    """The accelerator production path routes the finisher's f64 residual
+    through ops.ozaki slice matmuls; the fixed point must be unchanged."""
+    import dataclasses
+
+    cfg, g, F, d1, d2, o, v = n2_sto3g
+    settings = _settings(cfg, "CCSD", o, v, d2)
+    solver = get_cc_solver(settings)
+    finisher_oz = get_newton_finisher(
+        dataclasses.replace(settings, use_ozaki=True))
+
+    t1_0 = d1 * F[o, v]
+    t2_0 = g[o, o, v, v] * d2
+    dummy, d3 = jnp.zeros((1, 1)), jnp.zeros((1,))
+    (_, conv64, _, E64, _, t2_64, _, _) = solver(
+        g, F, d1, d2, t1_0, t2_0, dummy, dummy, dummy, d3, 1e-10, 1e-8)
+    assert bool(conv64)
+
+    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+    (_, convw, _, _, t1_w, t2_w, _, _) = solver(
+        f32(g), f32(F), f32(d1), f32(d2), f32(t1_0), f32(t2_0),
+        f32(dummy), f32(dummy), f32(dummy), f32(d3), 1e-6, 1e-4)
+    assert bool(convw)
+
+    (nn, convn, failn, En, _, t2_n, _, _) = finisher_oz(
+        g, F, d1, d2, jnp.asarray(t1_w, dtype=jnp.float64),
+        jnp.asarray(t2_w, dtype=jnp.float64), 1e-10, 1e-8)
+    assert bool(convn) and not bool(failn)
+    assert abs(float(En) - float(E64)) < 1e-10
+    assert float(jnp.max(jnp.abs(t2_n - t2_64))) < 1e-8
+
+
 def test_newton_from_unconverged_start(n2_sto3g):
     """Starting further from the fixed point (raw MP2 guess in f64), Newton
     must still converge -- more steps, same answer."""

@@ -34,6 +34,23 @@ def test_sharded_scan_matches_serial():
 
 
 @pytest.mark.smoke
+def test_scan_driver_takes_parallel_fast_path():
+    """The production SCAN driver must route plain-HF scans through the
+    sharded batch on a multi-device host and reproduce serial SPE energies
+    and analytic dipoles."""
+    bond_lengths, energies, dipoles = run(
+        "SCAN : H F 0.80 : HF STO-3G : NUM 6 STEP 0.07 TIGHTSCF",
+        suppress_output=True)
+    assert len(energies) == 6
+    for R, E_scan in zip(bond_lengths[:3], energies[:3]):
+        line = f"SPE : H F {R * 0.529177210544:.12f} : HF STO-3G : TIGHTSCF"
+        E_serial = run(line, suppress_output=True)[2]
+        assert abs(E_scan - E_serial) < 1e-8, (R, E_scan, E_serial)
+    # HF is polar: the analytic dipoles must be real numbers, not zeros
+    assert all(abs(d) > 0.1 for d in dipoles)
+
+
+@pytest.mark.smoke
 def test_sharded_fock_build_matches_dense():
     """ERI sharded over 8 chips: J/K from shard_map + all_gather match the
     single-device einsums."""

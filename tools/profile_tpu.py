@@ -230,22 +230,18 @@ def profile_newton(basis="6-311G"):
         method="CCSD", restricted=True, update_singles=True,
         keep_disconnected=True, n_occ=no, n_virt=nv,
         max_iter=cfg.correlated_max_iter, use_diis=True,
-        max_diis=cfg.max_DIIS_matrices, damping=0.0)
+        max_diis=cfg.max_DIIS_matrices, damping=0.0,
+        use_ozaki=jax.default_backend() != "cpu")
     solver = cc.get_cc_solver(settings)
-    finisher = cc.get_newton_finisher(settings)
+    production_solver = cc.get_production_solver(settings)
     dummy, d3 = jnp.zeros((1, 1)), jnp.zeros((1,))
-    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
-    args32 = tuple(f32(x) for x in (g, F, d1, d2))
 
     def production(t1s, t2s):
-        warm = solver(*args32, f32(t1s), f32(t2s), f32(dummy), f32(dummy),
-                      f32(dummy), f32(d3), 1e-6, 1e-4)
-        nw = int(warm[0])
-        t1w = jnp.asarray(warm[4], dtype=jnp.float64)
-        t2w = jnp.asarray(warm[5], dtype=jnp.float64)
-        out = finisher(g, F, d1, d2, t1w, t2w, 1e-9, 1e-7)
-        nn = int(out[0])
-        return nw, nn, out
+        out = production_solver(g, F, d1, d2, t1s, t2s, dummy, dummy, dummy,
+                                d3, 1e-9, 1e-7)
+        # (n_warm, warm_ok, warm_stats, n_newton, conv, failed, E, t1, t2,
+        #  hist, parts)
+        return int(out[0]), int(out[3]), (out[3], out[4], out[5], out[6])
 
     production(t1_0, t2_0)  # compile both
     best = float("inf")

@@ -18,6 +18,13 @@ import jax as _jax
 # unreachable in f32.  On TPU this uses XLA's double-single emulation.
 _jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls in f32 default to ONE bf16 pass (~3 significant digits), which
+# silently caps the f32 warm solves and the Newton finisher's Jacobian at
+# bf16 accuracy (measured: 5 Newton steps instead of 2).  Full-precision f32
+# (6-pass) still runs ~100x faster than emulated f64; nothing in quantum
+# chemistry wants silent bf16.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: TPU compiles of the integral/SCF/CC kernels
 # are expensive (minutes through the remote-compile tunnel) but fully
 # reusable across processes; warm runs then start in seconds.

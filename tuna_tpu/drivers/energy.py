@@ -300,6 +300,21 @@ def calculate_extrapolated_energy(calculation, atomic_symbols, coordinates,
     return SCF_large, molecule, E_extrapolated + dispersion, P
 
 
+def _print_scan_table(calculation, silent, energies, bond_lengths):
+    log_big_spacer(calculation, start="\n", space="", silent=silent)
+    log("\nCoordinate scan calculation finished!\n\n Printing energy as a "
+        "function of bond length...\n", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    log("                   Coordinate Scan", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    log("  Step         Bond Length               Energy", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+    for i, (energy, bond) in enumerate(zip(energies, bond_lengths)):
+        log(f" {i + 1:4.0f}            {constants.bohr_to_angstrom(bond):.5f}"
+            f"             {energy:13.10f}", calculation, 1, silent=silent)
+    log_spacer(calculation, silent=silent)
+
+
 def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
                     silent=False, reverse=False):
     """Bond-length scan with MOREAD density chaining (tuna_energy.py:975-1085)."""
@@ -320,6 +335,47 @@ def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
 
     bond_lengths, energies, dipole_moments = [], [], []
     P_guess = P_guess_alpha = P_guess_beta = E_guess = None
+
+    # Multi-device fast path: PES points are embarrassingly parallel, so on
+    # a multi-chip mesh the whole scan runs as ONE sharded batched SCF solve
+    # (tuna_tpu.parallel) instead of the serial MOREAD-chained walk.  Serial
+    # remains the fallback for correlated/DFT/field/extrapolated scans and
+    # for any unconverged batch (where density chaining earns its keep).
+    import jax as _jax
+    plain_mean_field = (calculation.method.name in ("HF", "UHF")
+                        and not calculation.DFT_calculation
+                        and not getattr(calculation, "extrapolate", False)
+                        and not np.any(calculation.electric_field)
+                        and not np.any(calculation.electric_field_gradient)
+                        and not calculation.dipole)
+    if _jax.device_count() > 1 and plain_mean_field:
+        from .. import parallel
+        bonds = []
+        b = bond_length
+        for _ in range(calculation.number_of_steps):
+            bonds.append(b)
+            nb = b + step_size
+            if reverse and nb <= constants.angstrom_to_bohr(0.2):
+                break
+            b = nb
+        log(f"Distributing {len(bonds)} scan points over "
+            f"{_jax.device_count()} devices...", calculation, 1, silent=silent)
+        batch_E, batch_conv, batch_dip = parallel.scan_points_parallel(
+            calculation, atomic_symbols, bonds)
+        if batch_conv.all():
+            bond_lengths = [float(bv) for bv in bonds]
+            energies = [float(E) for E in batch_E]
+            dipole_moments = [float(d) for d in batch_dip]
+            _print_scan_table(calculation, silent, energies, bond_lengths)
+            timer("Coordinate scan", 1)
+            if calculation.scan_plot:
+                from .. import plotting
+                plotting.generate_one_dimensional_plot(
+                    calculation, constants.bohr_to_angstrom(np.array(bond_lengths)),
+                    energies, "coordinate scan")
+            return bond_lengths, energies, dipole_moments
+        log("Sharded scan did not fully converge; falling back to the serial "
+            "density-chained walk.", calculation, 1, silent=silent)
 
     for step in range(1, calculation.number_of_steps + 1):
         bond_length = float(np.linalg.norm(coordinates[1] - coordinates[0]))
@@ -354,18 +410,7 @@ def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
         if bond_length + step_size <= constants.angstrom_to_bohr(0.2) and reverse:
             break
 
-    log_big_spacer(calculation, start="\n", space="", silent=silent)
-    log("\nCoordinate scan calculation finished!\n\n Printing energy as a "
-        "function of bond length...\n", calculation, 1, silent=silent)
-    log_spacer(calculation, silent=silent)
-    log("                   Coordinate Scan", calculation, 1, silent=silent)
-    log_spacer(calculation, silent=silent)
-    log("  Step         Bond Length               Energy", calculation, 1, silent=silent)
-    log_spacer(calculation, silent=silent)
-    for i, (energy, bond) in enumerate(zip(energies, bond_lengths)):
-        log(f" {i + 1:4.0f}            {constants.bohr_to_angstrom(bond):.5f}"
-            f"             {energy:13.10f}", calculation, 1, silent=silent)
-    log_spacer(calculation, silent=silent)
+    _print_scan_table(calculation, silent, energies, bond_lengths)
     timer("Coordinate scan", 1)
 
     if calculation.scan_plot:

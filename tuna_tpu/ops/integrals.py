@@ -229,8 +229,11 @@ class IntegralPlan:
         # chunk size); generate those integrals on the host CPU backend and
         # let XLA transfer the tensor -- integral generation is a one-time
         # cost per geometry shape, the solver loops stay on the accelerator.
+        # TUNA_TPU_ERI_DEVICE=1 forces the on-device path (fault triage).
+        import os
         eri_backend = None
-        if self.lmax >= 3 and jax.default_backend() != "cpu":
+        if (self.lmax >= 3 and jax.default_backend() != "cpu"
+                and os.environ.get("TUNA_TPU_ERI_DEVICE") != "1"):
             eri_backend = "cpu"
         self._eri = jax.jit(self._eri_impl, backend=eri_backend)
 

@@ -62,9 +62,11 @@ def fock_build_sharded(ERI, P_total, mesh: Mesh | None = None, axis: str = "tp")
 
 
 def _batched_inputs(calculation, atomic_symbols, bond_lengths):
-    """Per-geometry integrals, orthogonalisers and core guesses, stacked."""
+    """Per-geometry integrals, orthogonalisers and core guesses, stacked,
+    plus per-geometry metadata for property evaluation."""
     mats = {"T": [], "V": [], "ERI": [], "S": [], "X": [], "Pa": [], "Pb": [],
             "V_NN": []}
+    meta = []
     molecule = None
     for R in bond_lengths:
         coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, float(R)]])
@@ -89,22 +91,37 @@ def _batched_inputs(calculation, atomic_symbols, bond_lengths):
         mats["Pb"].append(P_b)
         mats["V_NN"].append(float(np.prod([float(c) for c in molecule.charges]))
                             / float(R))
+        meta.append({"coordinates": coords,
+                     "centre_of_mass": molecule.centre_of_mass,
+                     "charges": molecule.charges,
+                     "D": [np.asarray(Dc) for Dc in integrals.D]})
     stacked = {k: jnp.asarray(np.stack(vs)) for k, vs in mats.items()}
-    return molecule, stacked
+    return molecule, stacked, meta
 
 
-def scan_energies_parallel(calculation, atomic_symbols, bond_lengths,
-                           mesh: Mesh | None = None):
-    """Converged SCF energies for a batch of bond lengths, data-parallel.
+def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
+                         mesh: Mesh | None = None):
+    """Converged SCF energies, convergence flags and analytic dipole moments
+    for a batch of bond lengths, data-parallel over the mesh.
 
-    Restricted to mean-field methods (HF/DFT-free path); each geometry runs
+    Restricted to mean-field field-free methods (HF/UHF); each geometry runs
     the full jitted SCF while_loop, vmapped in lockstep and sharded over the
-    mesh's first axis.  Returns total energies (electronic + V_NN).
+    mesh's first axis.  This is the production fast path of the SCAN driver
+    (drivers/energy.scan_coordinate) on multi-device hosts; the reference
+    walks scan points serially (tuna_energy.py:975-1085).
     """
     if mesh is None:
         mesh = device_mesh()
 
-    molecule, batch = _batched_inputs(calculation, atomic_symbols, bond_lengths)
+    # Pad the batch to a multiple of the mesh size (replicating the last
+    # geometry) so the leading axis shards evenly; padded results are trimmed.
+    n_points = len(bond_lengths)
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_padded = -(-n_points // n_dev) * n_dev
+    padded = list(bond_lengths) + [bond_lengths[-1]] * (n_padded - n_points)
+
+    molecule, batch, meta = _batched_inputs(calculation, atomic_symbols,
+                                            padded)
     settings = SCFSettings(
         reference=calculation.reference,
         n_basis=int(batch["S"].shape[-1]),
@@ -123,21 +140,40 @@ def scan_energies_parallel(calculation, atomic_symbols, bond_lengths,
     zeros = jnp.zeros_like(batch["S"])
 
     def solve_one(T, V, ERI, S, X, Pa, Pb):
-        n_steps, converged, E, *_ = kernel(
+        n_steps, converged, E, P_a, P_b, _, _ = kernel(
             T, V, ERI, S, X, zeros[0], zeros[0], Pa, Pb, 0.0,
             calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
             conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
             static_damping, calculation.max_damping)
-        return E, converged
+        return E, converged, P_a + P_b
 
     axis = mesh.axis_names[0]
     shard_mat = NamedSharding(mesh, PartitionSpec(axis))
+    shard_vec = NamedSharding(mesh, PartitionSpec(axis))
     batched = jax.jit(
         jax.vmap(solve_one),
         in_shardings=(shard_mat,) * 7,
-        out_shardings=(NamedSharding(mesh, PartitionSpec(axis)),) * 2)
+        out_shardings=(shard_vec, shard_vec, shard_mat))
 
-    energies, converged = batched(batch["T"], batch["V"], batch["ERI"],
-                                  batch["S"], batch["X"], batch["Pa"],
-                                  batch["Pb"])
-    return np.asarray(energies) + np.asarray(batch["V_NN"]), np.asarray(converged)
+    energies, converged, P = batched(batch["T"], batch["V"], batch["ERI"],
+                                     batch["S"], batch["X"], batch["Pa"],
+                                     batch["Pb"])
+    energies = (np.asarray(energies) + np.asarray(batch["V_NN"]))[:n_points]
+    P = np.asarray(P)[:n_points]
+    converged = np.asarray(converged)[:n_points]
+
+    from . import props
+    dipoles = np.array([
+        props.calculate_analytical_dipole_moment(
+            m["centre_of_mass"], m["charges"], m["coordinates"], P[i], m["D"])[0]
+        for i, m in enumerate(meta[:n_points])])
+    return energies, converged, dipoles
+
+
+def scan_energies_parallel(calculation, atomic_symbols, bond_lengths,
+                           mesh: Mesh | None = None):
+    """Converged SCF total energies for a batch of bond lengths (see
+    scan_points_parallel)."""
+    energies, converged, _ = scan_points_parallel(
+        calculation, atomic_symbols, bond_lengths, mesh)
+    return energies, converged

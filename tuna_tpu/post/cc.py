@@ -26,9 +26,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import linalg
+import contextvars
+
+from ..ops import linalg, ozaki
 from ..output import error, log, log_spacer, timer
 from . import transforms
+
+# Trace-time einsum dispatch for the residual/update functions: the Newton
+# finisher retargets f64 residual contractions at ops.ozaki (exact bf16
+# slice matmuls on the MXU) by setting this ContextVar while tracing; the
+# default is plain jnp.einsum everywhere else.
+_EINSUM_IMPL: contextvars.ContextVar = contextvars.ContextVar(
+    "cc_einsum", default=jnp.einsum)
+
+
+def _es(*args, **kwargs):
+    return _EINSUM_IMPL.get()(*args, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -56,7 +69,7 @@ def _u_of(t2):
 
 def _tau_of(t1, t2):
     """tau[ijab] = t2[ijab] + t1[ia] t1[jb]."""
-    return t2 + jnp.einsum("ia,jb->ijab", t1, t1, optimize=True)
+    return t2 + _es("ia,jb->ijab", t1, t1, optimize=True)
 
 
 # ---------------------------------------------------------------------------
@@ -104,20 +117,20 @@ _NO_DISCONNECTED = ("LCCD", "LCCSD", "QCISD", "QCISD[T]", "QCISD(T)", "CISD",
 
 
 def _restricted_energy(B, F_ov, t1, t2, keep_disconnected: bool):
-    E_singles = jnp.einsum("ia,ia->", F_ov, t1, optimize=True)
-    E_conn = jnp.einsum("ijab,ijab->", B["Loovv"], t2, optimize=True)
+    E_singles = _es("ia,ia->", F_ov, t1, optimize=True)
+    E_conn = _es("ijab,ijab->", B["Loovv"], t2, optimize=True)
     if keep_disconnected:
-        E_disc = jnp.einsum("ijab,ia,jb->", B["Loovv"], t1, t1, optimize=True)
+        E_disc = _es("ijab,ia,jb->", B["Loovv"], t1, t1, optimize=True)
     else:
         E_disc = jnp.zeros_like(E_conn)
     return E_singles + E_conn + E_disc, E_singles, E_conn, E_disc
 
 
 def _unrestricted_energy(B, F_ov, t1, t2, keep_disconnected: bool):
-    E_singles = jnp.einsum("ia,ia->", F_ov, t1, optimize=True)
-    E_conn = 0.25 * jnp.einsum("ijab,ijab->", B["oovv"], t2, optimize=True)
+    E_singles = _es("ia,ia->", F_ov, t1, optimize=True)
+    E_conn = 0.25 * _es("ijab,ijab->", B["oovv"], t2, optimize=True)
     if keep_disconnected:
-        E_disc = 0.5 * jnp.einsum("ijab,ia,jb->", B["oovv"], t1, t1, optimize=True)
+        E_disc = 0.5 * _es("ijab,ia,jb->", B["oovv"], t1, t1, optimize=True)
     else:
         E_disc = jnp.zeros_like(E_conn)
     return E_singles + E_conn + E_disc, E_singles, E_conn, E_disc
@@ -130,29 +143,29 @@ def _unrestricted_energy(B, F_ov, t1, t2, keep_disconnected: bool):
 def _r_pair_ladder(Aoooo, Avvvv, t2_hh, t2_pp):
     """Hole-hole + particle-particle ladder: <ab|cd> = <cd|ab> lets the
     particle ladder contract the vvvv block in natural order."""
-    return 0.5 * (jnp.einsum("ijkl,klab->ijab", Aoooo, t2_hh, optimize=True)
-                  + jnp.einsum("abcd,ijcd->ijab", Avvvv, t2_pp, optimize=True))
+    return 0.5 * (_es("ijkl,klab->ijab", Aoooo, t2_hh, optimize=True)
+                  + _es("abcd,ijcd->ijab", Avvvv, t2_pp, optimize=True))
 
 
 def _r_rings(Aovvo, Aovov, t2):
     """The four spin-adapted ring contractions (direct + two exchanges)."""
-    return (2.0 * jnp.einsum("icak,kjcb->ijab", Aovvo, t2, optimize=True)
-            - jnp.einsum("icka,kjcb->ijab", Aovov, t2, optimize=True)
-            - jnp.einsum("icak,kjbc->ijab", Aovvo, t2, optimize=True)
-            - jnp.einsum("ickb,kjac->ijab", Aovov, t2, optimize=True))
+    return (2.0 * _es("icak,kjcb->ijab", Aovvo, t2, optimize=True)
+            - _es("icka,kjcb->ijab", Aovov, t2, optimize=True)
+            - _es("icak,kjbc->ijab", Aovvo, t2, optimize=True)
+            - _es("ickb,kjac->ijab", Aovov, t2, optimize=True))
 
 
 def _r_singles_linear(B, t1, t2):
     """Singles terms common to LCCSD / CISD (and, with tau, CCSD/QCISD)."""
-    return (jnp.einsum("icak,kc->ia", B["Lovvo"], t1, optimize=True)
-            + jnp.einsum("kadc,ikcd->ia", B["Lovvv"], t2, optimize=True)
-            - jnp.einsum("ickl,klac->ia", B["Lovoo"], t2, optimize=True))
+    return (_es("icak,kc->ia", B["Lovvo"], t1, optimize=True)
+            + _es("kadc,ikcd->ia", B["Lovvv"], t2, optimize=True)
+            - _es("ickl,klac->ia", B["Lovoo"], t2, optimize=True))
 
 
 def _r_doubles_singles_driven(B, t1):
     """t1-driven doubles terms shared by LCCSD / CISD / QCISD."""
-    return (jnp.einsum("icab,jc->ijab", B["ovvv"], t1, optimize=True)
-            - jnp.einsum("ijak,kb->ijab", B["oovo"], t1, optimize=True))
+    return (_es("icab,jc->ijab", B["ovvv"], t1, optimize=True)
+            - _es("ijak,kb->ijab", B["oovo"], t1, optimize=True))
 
 
 def _r_dressed_mosaic(B, t1, t2, with_t1: bool):
@@ -162,29 +175,29 @@ def _r_dressed_mosaic(B, t1, t2, with_t1: bool):
     fully tau-dressed CCSD set.
     """
     tau = _tau_of(t1, t2) if with_t1 else t2
-    dFoo = jnp.einsum("klcd,ilcd->ik", B["Loovv"], tau, optimize=True)
-    dFvv = -jnp.einsum("klcd,klad->ca", B["Loovv"], tau, optimize=True)
-    Fov = jnp.einsum("klcd,ld->kc", B["Loovv"], t1, optimize=True)
+    dFoo = _es("klcd,ilcd->ik", B["Loovv"], tau, optimize=True)
+    dFvv = -_es("klcd,klad->ca", B["Loovv"], tau, optimize=True)
+    Fov = _es("klcd,ld->kc", B["Loovv"], t1, optimize=True)
 
-    Woooo = B["oooo"] + jnp.einsum("klcd,ijcd->ijkl", B["oovv"], tau, optimize=True)
+    Woooo = B["oooo"] + _es("klcd,ijcd->ijkl", B["oovv"], tau, optimize=True)
     half = 0.5 * t2
     if with_t1:
         Woooo = Woooo + _sym_pair(
-            jnp.einsum("klic,jc->ijkl", B["ooov"], t1, optimize=True))
-        half = half + jnp.einsum("id,la->ilda", t1, t1, optimize=True)
+            _es("klic,jc->ijkl", B["ooov"], t1, optimize=True))
+        half = half + _es("id,la->ilda", t1, t1, optimize=True)
 
     Wovvo = (B["ovvo"]
-             - jnp.einsum("lkdc,ilda->icak", B["oovv"], half, optimize=True)
-             + 0.5 * jnp.einsum("lkdc,ilad->icak", B["Loovv"], t2, optimize=True))
+             - _es("lkdc,ilda->icak", B["oovv"], half, optimize=True)
+             + 0.5 * _es("lkdc,ilad->icak", B["Loovv"], t2, optimize=True))
     Wovov = (B["ovov"]
-             - jnp.einsum("lkcd,ilda->icka", B["oovv"], half, optimize=True))
+             - _es("lkcd,ilda->icka", B["oovv"], half, optimize=True))
     if with_t1:
         Wovvo = (Wovvo
-                 - jnp.einsum("iclk,la->icak", B["ovoo"], t1, optimize=True)
-                 + jnp.einsum("kacd,id->icak", B["ovvv"], t1, optimize=True))
+                 - _es("iclk,la->icak", B["ovoo"], t1, optimize=True)
+                 + _es("kacd,id->icak", B["ovvv"], t1, optimize=True))
         Wovov = (Wovov
-                 - jnp.einsum("ickl,la->icka", B["ovoo"], t1, optimize=True)
-                 + jnp.einsum("kadc,id->icka", B["ovvv"], t1, optimize=True))
+                 - _es("ickl,la->icka", B["ovoo"], t1, optimize=True)
+                 + _es("kadc,id->icka", B["ovvv"], t1, optimize=True))
     return tau, dFoo, dFvv, Fov, Woooo, Wovvo, Wovov
 
 
@@ -202,7 +215,7 @@ def _r_lccd(B, F_ov, d1, d2, t1, t2, aux):
 def _r_cid(B, F_ov, d1, d2, t1, t2, aux):
     r2 = _sym_pair(0.5 * B["oovv"] + _r_pair_ladder(B["oooo"], B["vvvv"], t2, t2)
                    + _r_rings(B["ovvo"], B["ovov"], t2))
-    E_corr = jnp.einsum("ijab,ijab->", B["oovv"], _u_of(t2), optimize=True)
+    E_corr = _es("ijab,ijab->", B["oovv"], _u_of(t2), optimize=True)
     return t1, d2 * (r2 - E_corr * t2)
 
 
@@ -219,19 +232,19 @@ def _r_cisd(B, F_ov, d1, d2, t1, t2, aux):
     r2 = _sym_pair(0.5 * B["oovv"] + _r_doubles_singles_driven(B, t1)
                    + _r_pair_ladder(B["oooo"], B["vvvv"], t2, t2)
                    + _r_rings(B["ovvo"], B["ovov"], t2))
-    E_corr = jnp.einsum("ijab,ijab->", B["oovv"], _u_of(t2), optimize=True)
+    E_corr = _es("ijab,ijab->", B["oovv"], _u_of(t2), optimize=True)
     return d1 * (r1 - E_corr * t1), d2 * (r2 - E_corr * t2)
 
 
 def _r_qcisd(B, F_ov, d1, d2, t1, t2, aux):
     _, dFoo, dFvv, Fov, Woooo, Wovvo, Wovov = _r_dressed_mosaic(B, t1, t2, False)
-    r1 = (jnp.einsum("ca,ic->ia", dFvv, t1, optimize=True)
-          - jnp.einsum("ik,ka->ia", dFoo, t1, optimize=True)
-          + jnp.einsum("kc,kica->ia", Fov, _u_of(t2), optimize=True)
+    r1 = (_es("ca,ic->ia", dFvv, t1, optimize=True)
+          - _es("ik,ka->ia", dFoo, t1, optimize=True)
+          + _es("kc,kica->ia", Fov, _u_of(t2), optimize=True)
           + _r_singles_linear(B, t1, t2))
     r2 = (0.5 * B["oovv"] + _r_pair_ladder(Woooo, B["vvvv"], t2, t2)
-          + jnp.einsum("ca,ijcb->ijab", dFvv, t2, optimize=True)
-          - jnp.einsum("ik,kjab->ijab", dFoo, t2, optimize=True)
+          + _es("ca,ijcb->ijab", dFvv, t2, optimize=True)
+          - _es("ik,kjab->ijab", dFoo, t2, optimize=True)
           + _r_doubles_singles_driven(B, t1)
           + _r_rings(Wovvo, Wovov, t2))
     return d1 * r1, d2 * _sym_pair(r2)
@@ -240,8 +253,8 @@ def _r_qcisd(B, F_ov, d1, d2, t1, t2, aux):
 def _r_ccsd(B, F_ov, d1, d2, t1, t2, aux, freeze_singles: bool = False):
     tau, dFoo, dFvv, Fov, Woooo, Wovvo, Wovov = _r_dressed_mosaic(B, t1, t2,
                                                                   not freeze_singles)
-    dLoo = dFoo + jnp.einsum("ickl,lc->ik", B["Lovoo"], t1, optimize=True)
-    dLvv = dFvv + jnp.einsum("kadc,kd->ca", B["Lovvv"], t1, optimize=True)
+    dLoo = dFoo + _es("ickl,lc->ik", B["Lovoo"], t1, optimize=True)
+    dLvv = dFvv + _es("kadc,kd->ca", B["Lovvv"], t1, optimize=True)
 
     ladder = _r_pair_ladder(Woooo, B["vvvv"], tau, tau)
     if not freeze_singles:
@@ -250,26 +263,26 @@ def _r_ccsd(B, F_ov, d1, d2, t1, t2, aux, freeze_singles: bool = False):
         # tensor builds (the dominant cost per iteration on TPU -- awkward
         # abcd output permutations of 8v^4 bytes) into one o^2v^3 intermediate
         # and two O(o^3 v^2) contractions.  Uses tau_ijcd = tau_jidc.
-        Y = jnp.einsum("kacd,ijcd->kaij", B["ovvv"], tau, optimize=True)
+        Y = _es("kacd,ijcd->kaij", B["ovvv"], tau, optimize=True)
         ladder = ladder - 0.5 * (
-            jnp.einsum("kaji,kb->ijab", Y, t1, optimize=True)
-            + jnp.einsum("kbij,ka->ijab", Y, t1, optimize=True))
+            _es("kaji,kb->ijab", Y, t1, optimize=True)
+            + _es("kbij,ka->ijab", Y, t1, optimize=True))
 
-    r1 = (jnp.einsum("ca,ic->ia", dFvv, t1, optimize=True)
-          - jnp.einsum("ik,ka->ia", dFoo, t1, optimize=True)
-          - jnp.einsum("ickl,klac->ia", B["Lovoo"], tau, optimize=True)
-          + jnp.einsum("kc,kica->ia", Fov, _u_of(t2), optimize=True)
-          + jnp.einsum("kc,ic,ka->ia", Fov, t1, t1, optimize=True)
-          + jnp.einsum("icak,kc->ia", B["Lovvo"], t1, optimize=True)
-          + jnp.einsum("kadc,ikcd->ia", B["Lovvv"], tau, optimize=True))
+    r1 = (_es("ca,ic->ia", dFvv, t1, optimize=True)
+          - _es("ik,ka->ia", dFoo, t1, optimize=True)
+          - _es("ickl,klac->ia", B["Lovoo"], tau, optimize=True)
+          + _es("kc,kica->ia", Fov, _u_of(t2), optimize=True)
+          + _es("kc,ic,ka->ia", Fov, t1, t1, optimize=True)
+          + _es("icak,kc->ia", B["Lovvo"], t1, optimize=True)
+          + _es("kadc,ikcd->ia", B["Lovvv"], tau, optimize=True))
 
     r2 = (0.5 * B["oovv"] + ladder
-          + jnp.einsum("ca,ijcb->ijab", dLvv, t2, optimize=True)
-          - jnp.einsum("ik,kjab->ijab", dLoo, t2, optimize=True)
-          + jnp.einsum("icab,jc->ijab", B["ovvv"], t1, optimize=True)
-          - jnp.einsum("ickb,ka,jc->ijab", B["ovov"], t1, t1, optimize=True)
-          - jnp.einsum("ijak,kb->ijab", B["oovo"], t1, optimize=True)
-          - jnp.einsum("icak,jc,kb->ijab", B["ovvo"], t1, t1, optimize=True)
+          + _es("ca,ijcb->ijab", dLvv, t2, optimize=True)
+          - _es("ik,kjab->ijab", dLoo, t2, optimize=True)
+          + _es("icab,jc->ijab", B["ovvv"], t1, optimize=True)
+          - _es("ickb,ka,jc->ijab", B["ovov"], t1, t1, optimize=True)
+          - _es("ijak,kb->ijab", B["oovo"], t1, optimize=True)
+          - _es("icak,jc,kb->ijab", B["ovvo"], t1, t1, optimize=True)
           + _r_rings(Wovvo, Wovov, t2))
 
     t1_new = t1 if freeze_singles else d1 * r1
@@ -313,18 +326,18 @@ def _r_cc2(B, F_ov, d1, d2, t1, t2_unused, aux):
     g_oovo = _dressed_block(ERI_AO, X, Y, o, o, v, o)
     g_ovoo = _dressed_block(ERI_AO, X, Y, o, v, o, o)
 
-    F_vo = (h_hat[v, o] + 2.0 * jnp.einsum("kkai->ai", g_oovo, optimize=True)
-            - jnp.einsum("kiak->ai", g_oovo, optimize=True))
-    F_ov_hat = (h_hat[o, v] + 2.0 * jnp.einsum("kkia->ia", g_ooov, optimize=True)
-                - jnp.einsum("kaik->ia", g_ovoo, optimize=True))
+    F_vo = (h_hat[v, o] + 2.0 * _es("kkai->ai", g_oovo, optimize=True)
+            - _es("kiak->ai", g_oovo, optimize=True))
+    F_ov_hat = (h_hat[o, v] + 2.0 * _es("kkia->ia", g_ooov, optimize=True)
+                - _es("kaik->ia", g_ovoo, optimize=True))
 
     t2 = g_vovo.transpose(1, 3, 0, 2) * d2
     u2 = _u_of(t2)
 
     r1 = (F_vo.T
-          + jnp.einsum("kicd,kcad->ia", u2, g_ovvv, optimize=True)
-          - jnp.einsum("klac,kilc->ia", u2, g_ooov, optimize=True)
-          + jnp.einsum("kc,ikac->ia", F_ov_hat, u2, optimize=True))
+          + _es("kicd,kcad->ia", u2, g_ovvv, optimize=True)
+          - _es("klac,kilc->ia", u2, g_ooov, optimize=True)
+          + _es("kc,ikac->ia", F_ov_hat, u2, optimize=True))
     return t1 + d1 * r1, t2
 
 
@@ -342,46 +355,46 @@ def _r_cc3(B, F_ov, d1, d2, t1, t2, aux):
     l_hat = 2.0 * g_hat - g_hat.swapaxes(1, 3)
     u2 = _u_of(t2)
     occ_all = slice(0, o.stop)
-    F_hat = h_hat + jnp.einsum("kkpq->pq", l_hat[occ_all, occ_all, :, :],
+    F_hat = h_hat + _es("kkpq->pq", l_hat[occ_all, occ_all, :, :],
                                optimize=True)
 
-    A_ia = jnp.einsum("kicd,kcad->ia", u2, g_hat[o, v, v, v], optimize=True)
-    B_ia = -jnp.einsum("klac,kilc->ia", u2, g_hat[o, o, o, v], optimize=True)
-    C_ia = jnp.einsum("kc,ikac->ia", F_hat[o, v], u2, optimize=True)
+    A_ia = _es("kicd,kcad->ia", u2, g_hat[o, v, v, v], optimize=True)
+    B_ia = -_es("klac,kilc->ia", u2, g_hat[o, o, o, v], optimize=True)
+    C_ia = _es("kc,ikac->ia", F_hat[o, v], u2, optimize=True)
 
     beta = (g_hat[o, o, o, o].transpose(1, 3, 0, 2)
-            + jnp.einsum("ijcd,kcld->ijkl", t2, g_hat[o, v, o, v], optimize=True))
+            + _es("ijcd,kcld->ijkl", t2, g_hat[o, v, o, v], optimize=True))
     gamma = (g_hat[o, o, v, v]
-             - 0.5 * jnp.einsum("liad,kdlc->kiac", t2, g_hat[o, v, o, v], optimize=True))
+             - 0.5 * _es("liad,kdlc->kiac", t2, g_hat[o, v, o, v], optimize=True))
     delta = 2.0 * g_hat[v, o, o, v] - g_hat[o, o, v, v].transpose(2, 1, 0, 3)
-    delta = delta + 0.5 * jnp.einsum(
+    delta = delta + 0.5 * _es(
         "ilad,ldkc->aikc", u2,
         2.0 * g_hat[o, v, o, v] - g_hat[o, v, o, v].swapaxes(1, 3), optimize=True)
-    Fvv_tt = F_hat[v, v] - jnp.einsum("klbd,ldkc->bc", u2, g_hat[o, v, o, v],
+    Fvv_tt = F_hat[v, v] - _es("klbd,ldkc->bc", u2, g_hat[o, v, o, v],
                                       optimize=True)
-    Foo_tt = F_hat[o, o] + jnp.einsum("ljcd,kdlc->kj", u2, g_hat[o, v, o, v],
+    Foo_tt = F_hat[o, o] + _es("ljcd,kdlc->kj", u2, g_hat[o, v, o, v],
                                       optimize=True)
 
-    A2 = jnp.einsum("ijcd,acbd->ijab", t2, g_hat[v, v, v, v], optimize=True)
-    B2 = jnp.einsum("klab,ijkl->ijab", t2, beta, optimize=True)
-    C2 = -jnp.einsum("kjbc,kiac->ijab", t2, gamma, optimize=True)
-    D2 = 0.5 * jnp.einsum("jkbc,aikc->ijab", u2, delta, optimize=True)
-    E2 = jnp.einsum("ijac,bc->ijab", t2, Fvv_tt, optimize=True)
-    G2 = -jnp.einsum("ikab,kj->ijab", t2, Foo_tt, optimize=True)
+    A2 = _es("ijcd,acbd->ijab", t2, g_hat[v, v, v, v], optimize=True)
+    B2 = _es("klab,ijkl->ijab", t2, beta, optimize=True)
+    C2 = -_es("kjbc,kiac->ijab", t2, gamma, optimize=True)
+    D2 = 0.5 * _es("jkbc,aikc->ijab", u2, delta, optimize=True)
+    E2 = _es("ijac,bc->ijab", t2, Fvv_tt, optimize=True)
+    G2 = -_es("ikab,kj->ijab", t2, Foo_tt, optimize=True)
 
     t3 = second_order_triples_amplitudes(d3, t2, g_hat, o, v)
     u3 = 2.0 * t3 - t3.swapaxes(3, 4) - t3.swapaxes(3, 5)
 
-    trip2 = jnp.einsum("kc,ijkabc->ijab", F_hat[o, v],
+    trip2 = _es("kc,ijkabc->ijab", F_hat[o, v],
                        t3 - t3.swapaxes(4, 5), optimize=True)
-    trip2 = trip2 + jnp.einsum(
+    trip2 = trip2 + _es(
         "ackd,ijkcbd->ijab", g_hat[v, v, o, v],
         2.0 * t3 - t3.swapaxes(4, 5) - t3.swapaxes(3, 5), optimize=True)
-    trip2 = trip2 - jnp.einsum("kilc,ljkcba->ijab", g_hat[o, o, o, v], u3,
+    trip2 = trip2 - _es("kilc,ljkcba->ijab", g_hat[o, o, o, v], u3,
                                optimize=True)
 
     r1 = F_hat[v, o].T + A_ia + B_ia + C_ia
-    r1 = r1 + jnp.einsum("jbkc,ijkabc->ia", l_hat[o, v, o, v],
+    r1 = r1 + _es("jbkc,ijkabc->ia", l_hat[o, v, o, v],
                          t3 - t3.swapaxes(3, 4), optimize=True)
     r2 = g_hat[v, o, v, o].transpose(1, 3, 0, 2) + A2 + B2
     r2 = r2 + permute_symmetric(0.5 * C2 + C2.swapaxes(0, 1) + D2 + E2 + G2,
@@ -396,38 +409,38 @@ def _r_cc3(B, F_ov, d1, d2, t1, t2, aux):
 # ---------------------------------------------------------------------------
 
 def _u_so_tau(t1, t2, factor):
-    pair = jnp.einsum("ia,jb->ijab", t1, t1, optimize=True)
+    pair = _es("ia,jb->ijab", t1, t1, optimize=True)
     return t2 + factor * (pair - pair.swapaxes(2, 3))
 
 
 def _u_linear_doubles(B, F_oo_off, F_vv_off, t1, t2, with_fock: bool):
     """Linear doubles terms shared by every spin-orbital method."""
     r = (B["oovv"]
-         + 0.5 * jnp.einsum("abcd,ijcd->ijab", B["vvvv"], t2, optimize=True)
-         + 0.5 * jnp.einsum("ijkl,klab->ijab", B["oooo"], t2, optimize=True)
-         + permute(permute(jnp.einsum("icak,jkbc->ijab", B["ovvo"], t2,
+         + 0.5 * _es("abcd,ijcd->ijab", B["vvvv"], t2, optimize=True)
+         + 0.5 * _es("ijkl,klab->ijab", B["oooo"], t2, optimize=True)
+         + permute(permute(_es("icak,jkbc->ijab", B["ovvo"], t2,
                                       optimize=True), 2, 3), 0, 1))
     if with_fock:
-        r = r + permute(jnp.einsum("ijae,be->ijab", t2, F_vv_off, optimize=True), 2, 3)
-        r = r - permute(jnp.einsum("imab,mj->ijab", t2, F_oo_off, optimize=True), 0, 1)
+        r = r + permute(_es("ijae,be->ijab", t2, F_vv_off, optimize=True), 2, 3)
+        r = r - permute(_es("imab,mj->ijab", t2, F_oo_off, optimize=True), 0, 1)
     return r
 
 
 def _u_singles_driven(B, t1):
-    return (permute(jnp.einsum("abcj,ic->ijab", B["vvvo"], t1, optimize=True), 0, 1)
-            - permute(jnp.einsum("kbij,ka->ijab", B["ovoo"], t1, optimize=True), 2, 3))
+    return (permute(_es("abcj,ic->ijab", B["vvvo"], t1, optimize=True), 0, 1)
+            - permute(_es("kbij,ka->ijab", B["ovoo"], t1, optimize=True), 2, 3))
 
 
 def _u_linear_singles(B, F, o, v, t1, t2):
     return (F[o, v]
-            + jnp.einsum("ie,ae->ia", t1, F[v, v] - jnp.diag(jnp.diagonal(F))[v, v],
+            + _es("ie,ae->ia", t1, F[v, v] - jnp.diag(jnp.diagonal(F))[v, v],
                          optimize=True)
-            - jnp.einsum("ma,mi->ia", t1, F[o, o] - jnp.diag(jnp.diagonal(F))[o, o],
+            - _es("ma,mi->ia", t1, F[o, o] - jnp.diag(jnp.diagonal(F))[o, o],
                          optimize=True)
-            + jnp.einsum("imae,me->ia", t2, F[o, v], optimize=True)
-            - jnp.einsum("nf,naif->ia", t1, B["ovov"], optimize=True)
-            - 0.5 * jnp.einsum("imef,maef->ia", t2, B["ovvv"], optimize=True)
-            - 0.5 * jnp.einsum("mnae,nmei->ia", t2, B["oovo"], optimize=True))
+            + _es("imae,me->ia", t2, F[o, v], optimize=True)
+            - _es("nf,naif->ia", t1, B["ovov"], optimize=True)
+            - 0.5 * _es("imef,maef->ia", t2, B["ovvv"], optimize=True)
+            - 0.5 * _es("mnae,nmei->ia", t2, B["oovo"], optimize=True))
 
 
 def _u_lccd(B, F, o, v, d1, d2, t1, t2, aux):
@@ -436,13 +449,13 @@ def _u_lccd(B, F, o, v, d1, d2, t1, t2, aux):
 
 def _u_ccd(B, F, o, v, d1, d2, t1, t2, aux):
     r = _u_linear_doubles(B, None, None, t1, t2, False)
-    r = r - 0.5 * permute(jnp.einsum("cdkl,ijac,klbd->ijab", B["oovv"].transpose(2, 3, 0, 1),
+    r = r - 0.5 * permute(_es("cdkl,ijac,klbd->ijab", B["oovv"].transpose(2, 3, 0, 1),
                                      t2, t2, optimize=True), 2, 3)
-    r = r - 0.5 * permute(jnp.einsum("cdkl,ikab,jlcd->ijab", B["oovv"].transpose(2, 3, 0, 1),
+    r = r - 0.5 * permute(_es("cdkl,ikab,jlcd->ijab", B["oovv"].transpose(2, 3, 0, 1),
                                      t2, t2, optimize=True), 0, 1)
-    r = r + 0.25 * jnp.einsum("cdkl,ijcd,klab->ijab", B["oovv"].transpose(2, 3, 0, 1),
+    r = r + 0.25 * _es("cdkl,ijcd,klab->ijab", B["oovv"].transpose(2, 3, 0, 1),
                               t2, t2, optimize=True)
-    r = r + permute(jnp.einsum("cdkl,ikac,jlbd->ijab", B["oovv"].transpose(2, 3, 0, 1),
+    r = r + permute(_es("cdkl,ikac,jlbd->ijab", B["oovv"].transpose(2, 3, 0, 1),
                                t2, t2, optimize=True), 0, 1)
     return t1, d2 * r
 
@@ -450,15 +463,15 @@ def _u_ccd(B, F, o, v, d1, d2, t1, t2, aux):
 def _u_lccsd(B, F, o, v, d1, d2, t1, t2, aux):
     """Incremental update (the reference quirk, tuna_cc.py:1118-1119): the
     fixed point satisfies residual = 0 either way."""
-    r1 = (F[o, v] + jnp.einsum("ac,ic->ia", F[v, v], t1, optimize=True)
-          + jnp.einsum("kc,ikac->ia", F[o, v], t2, optimize=True)
-          - jnp.einsum("ki,ka->ia", F[o, o], t1, optimize=True)
-          + jnp.einsum("kaci,kc->ia", B["ovvo"], t1, optimize=True)
-          + 0.5 * jnp.einsum("kacd,kicd->ia", B["ovvv"], t2, optimize=True)
-          - 0.5 * jnp.einsum("klci,klca->ia", B["oovo"], t2, optimize=True))
+    r1 = (F[o, v] + _es("ac,ic->ia", F[v, v], t1, optimize=True)
+          + _es("kc,ikac->ia", F[o, v], t2, optimize=True)
+          - _es("ki,ka->ia", F[o, o], t1, optimize=True)
+          + _es("kaci,kc->ia", B["ovvo"], t1, optimize=True)
+          + 0.5 * _es("kacd,kicd->ia", B["ovvv"], t2, optimize=True)
+          - 0.5 * _es("klci,klca->ia", B["oovo"], t2, optimize=True))
     r2 = (_u_linear_doubles(B, F[o, o], F[v, v], t1, t2, False)
-          + permute(jnp.einsum("bc,ijac->ijab", F[v, v], t2, optimize=True), 2, 3)
-          - permute(jnp.einsum("kj,ikab->ijab", F[o, o], t2, optimize=True), 0, 1)
+          + permute(_es("bc,ijac->ijab", F[v, v], t2, optimize=True), 2, 3)
+          - permute(_es("kj,ikab->ijab", F[o, o], t2, optimize=True), 0, 1)
           + _u_singles_driven(B, t1))
     return t1 + d1 * r1, t2 + d2 * r2
 
@@ -466,8 +479,8 @@ def _u_lccsd(B, F, o, v, d1, d2, t1, t2, aux):
 def _u_cid(B, F, o, v, d1, d2, t1, t2, aux):
     off_vv = F[v, v] - jnp.diag(jnp.diagonal(F))[v, v]
     r = _u_linear_doubles(B, jnp.zeros_like(F[o, o]), off_vv, t1, t2, False)
-    r = r + permute(jnp.einsum("ijae,be->ijab", t2, off_vv, optimize=True), 2, 3)
-    E_corr = 0.25 * jnp.einsum("ijab,ijab->", B["oovv"], t2, optimize=True)
+    r = r + permute(_es("ijae,be->ijab", t2, off_vv, optimize=True), 2, 3)
+    E_corr = 0.25 * _es("ijab,ijab->", B["oovv"], t2, optimize=True)
     return t1, d2 * (r - E_corr * t2)
 
 
@@ -477,38 +490,38 @@ def _u_cisd(B, F, o, v, d1, d2, t1, t2, aux):
     r1 = _u_linear_singles(B, F, o, v, t1, t2)
     r2 = (_u_linear_doubles(B, off_oo, off_vv, t1, t2, True)
           + _u_singles_driven(B, t1))
-    E_corr = 0.25 * jnp.einsum("ijab,ijab->", B["oovv"], t2, optimize=True)
+    E_corr = 0.25 * _es("ijab,ijab->", B["oovv"], t2, optimize=True)
     return d1 * (r1 - E_corr * t1), d2 * (r2 - E_corr * t2)
 
 
 def _u_qcisd(B, F, o, v, d1, d2, t1, t2, aux):
     off = jnp.diag(jnp.diagonal(F))
     Pvv = (F[v, v] - off[v, v]
-           - 0.5 * jnp.einsum("mnaf,mnef->ae", t2, B["oovv"], optimize=True))
+           - 0.5 * _es("mnaf,mnef->ae", t2, B["oovv"], optimize=True))
     Poo = (F[o, o] - off[o, o]
-           + 0.5 * jnp.einsum("inef,mnef->mi", t2, B["oovv"], optimize=True))
-    Pov = F[o, v] + jnp.einsum("nf,mnef->me", t1, B["oovv"], optimize=True)
+           + 0.5 * _es("inef,mnef->mi", t2, B["oovv"], optimize=True))
+    Pov = F[o, v] + _es("nf,mnef->me", t1, B["oovv"], optimize=True)
 
-    Hoooo = B["oooo"] + 0.25 * jnp.einsum("ijef,mnef->mnij", t2, B["oovv"],
+    Hoooo = B["oooo"] + 0.25 * _es("ijef,mnef->mnij", t2, B["oovv"],
                                           optimize=True)
-    Hvvvv = B["vvvv"] + 0.25 * jnp.einsum("mnab,mnef->abef", t2, B["oovv"],
+    Hvvvv = B["vvvv"] + 0.25 * _es("mnab,mnef->abef", t2, B["oovv"],
                                           optimize=True)
-    Hovvo = B["ovvo"] - 0.5 * jnp.einsum("jnfb,mnef->mbej", t2, B["oovv"],
+    Hovvo = B["ovvo"] - 0.5 * _es("jnfb,mnef->mbej", t2, B["oovv"],
                                          optimize=True)
 
-    r1 = (F[o, v] + jnp.einsum("ie,ae->ia", t1, Pvv, optimize=True)
-          - jnp.einsum("ma,mi->ia", t1, Poo, optimize=True)
-          + jnp.einsum("imae,me->ia", t2, Pov, optimize=True)
-          - jnp.einsum("nf,naif->ia", t1, B["ovov"], optimize=True)
-          - 0.5 * jnp.einsum("imef,maef->ia", t2, B["ovvv"], optimize=True)
-          - 0.5 * jnp.einsum("mnae,nmei->ia", t2, B["oovo"], optimize=True))
+    r1 = (F[o, v] + _es("ie,ae->ia", t1, Pvv, optimize=True)
+          - _es("ma,mi->ia", t1, Poo, optimize=True)
+          + _es("imae,me->ia", t2, Pov, optimize=True)
+          - _es("nf,naif->ia", t1, B["ovov"], optimize=True)
+          - 0.5 * _es("imef,maef->ia", t2, B["ovvv"], optimize=True)
+          - 0.5 * _es("mnae,nmei->ia", t2, B["oovo"], optimize=True))
 
     r2 = (B["oovv"]
-          + permute(jnp.einsum("ijae,be->ijab", t2, Pvv, optimize=True), 2, 3)
-          - permute(jnp.einsum("imab,mj->ijab", t2, Poo, optimize=True), 0, 1)
-          + 0.5 * jnp.einsum("mnab,mnij->ijab", t2, Hoooo, optimize=True)
-          + 0.5 * jnp.einsum("ijef,abef->ijab", t2, Hvvvv, optimize=True)
-          + permute(permute(jnp.einsum("imae,mbej->ijab", t2, Hovvo,
+          + permute(_es("ijae,be->ijab", t2, Pvv, optimize=True), 2, 3)
+          - permute(_es("imab,mj->ijab", t2, Poo, optimize=True), 0, 1)
+          + 0.5 * _es("mnab,mnij->ijab", t2, Hoooo, optimize=True)
+          + 0.5 * _es("ijef,abef->ijab", t2, Hvvvv, optimize=True)
+          + permute(permute(_es("imae,mbej->ijab", t2, Hovvo,
                                        optimize=True), 2, 3), 0, 1)
           + _u_singles_driven(B, t1))
     return d1 * r1, d2 * r2
@@ -521,49 +534,49 @@ def _u_ccsd(B, F, o, v, d1, d2, t1, t2, aux):
     tau = _u_so_tau(t1, t2, 1.0)
 
     Pvv = (F[v, v] - off[v, v]
-           - 0.5 * jnp.einsum("me,ma->ae", F[o, v], t1, optimize=True)
-           + jnp.einsum("mf,mafe->ae", t1, B["ovvv"], optimize=True)
-           - 0.5 * jnp.einsum("mnaf,mnef->ae", tau_h, B["oovv"], optimize=True))
+           - 0.5 * _es("me,ma->ae", F[o, v], t1, optimize=True)
+           + _es("mf,mafe->ae", t1, B["ovvv"], optimize=True)
+           - 0.5 * _es("mnaf,mnef->ae", tau_h, B["oovv"], optimize=True))
     Poo = (F[o, o] - off[o, o]
-           + 0.5 * jnp.einsum("ie,me->mi", t1, F[o, v], optimize=True)
-           + jnp.einsum("ne,mnie->mi", t1, B["ooov"], optimize=True)
-           + 0.5 * jnp.einsum("inef,mnef->mi", tau_h, B["oovv"], optimize=True))
-    Pov = F[o, v] + jnp.einsum("nf,mnef->me", t1, B["oovv"], optimize=True)
+           + 0.5 * _es("ie,me->mi", t1, F[o, v], optimize=True)
+           + _es("ne,mnie->mi", t1, B["ooov"], optimize=True)
+           + 0.5 * _es("inef,mnef->mi", tau_h, B["oovv"], optimize=True))
+    Pov = F[o, v] + _es("nf,mnef->me", t1, B["oovv"], optimize=True)
 
     Hoooo = (B["oooo"]
-             + permute(jnp.einsum("je,mnie->mnij", t1, B["ooov"], optimize=True), 2, 3)
-             + 0.25 * jnp.einsum("ijef,mnef->mnij", tau, B["oovv"], optimize=True))
+             + permute(_es("je,mnie->mnij", t1, B["ooov"], optimize=True), 2, 3)
+             + 0.25 * _es("ijef,mnef->mnij", tau, B["oovv"], optimize=True))
     Hvvvv = (B["vvvv"]
-             - permute(jnp.einsum("mb,amef->abef", t1, B["vovv"], optimize=True), 0, 1)
-             + 0.25 * jnp.einsum("mnab,mnef->abef", tau, B["oovv"], optimize=True))
+             - permute(_es("mb,amef->abef", t1, B["vovv"], optimize=True), 0, 1)
+             + 0.25 * _es("mnab,mnef->abef", tau, B["oovv"], optimize=True))
     Hovvo = (B["ovvo"]
-             + jnp.einsum("jf,mbef->mbej", t1, B["ovvv"], optimize=True)
-             - jnp.einsum("nb,mnej->mbej", t1, B["oovo"], optimize=True)
-             - jnp.einsum("jnfb,mnef->mbej",
-                          0.5 * t2 + jnp.einsum("jf,nb->jnfb", t1, t1, optimize=True),
+             + _es("jf,mbef->mbej", t1, B["ovvv"], optimize=True)
+             - _es("nb,mnej->mbej", t1, B["oovo"], optimize=True)
+             - _es("jnfb,mnef->mbej",
+                          0.5 * t2 + _es("jf,nb->jnfb", t1, t1, optimize=True),
                           B["oovv"], optimize=True))
 
-    r1 = (F[o, v] + jnp.einsum("ie,ae->ia", t1, Pvv, optimize=True)
-          - jnp.einsum("ma,mi->ia", t1, Poo, optimize=True)
-          + jnp.einsum("imae,me->ia", t2, Pov, optimize=True)
-          - jnp.einsum("nf,naif->ia", t1, B["ovov"], optimize=True)
-          - 0.5 * jnp.einsum("imef,maef->ia", t2, B["ovvv"], optimize=True)
-          - 0.5 * jnp.einsum("mnae,nmei->ia", t2, B["oovo"], optimize=True))
+    r1 = (F[o, v] + _es("ie,ae->ia", t1, Pvv, optimize=True)
+          - _es("ma,mi->ia", t1, Poo, optimize=True)
+          + _es("imae,me->ia", t2, Pov, optimize=True)
+          - _es("nf,naif->ia", t1, B["ovov"], optimize=True)
+          - 0.5 * _es("imef,maef->ia", t2, B["ovvv"], optimize=True)
+          - 0.5 * _es("mnae,nmei->ia", t2, B["oovo"], optimize=True))
 
     r2 = (B["oovv"]
-          + permute(jnp.einsum(
+          + permute(_es(
               "ijae,be->ijab", t2,
-              Pvv - 0.5 * jnp.einsum("mb,me->be", t1, Pov, optimize=True),
+              Pvv - 0.5 * _es("mb,me->be", t1, Pov, optimize=True),
               optimize=True), 2, 3)
-          - permute(jnp.einsum(
+          - permute(_es(
               "imab,mj->ijab", t2,
-              Poo + 0.5 * jnp.einsum("je,me->mj", t1, Pov, optimize=True),
+              Poo + 0.5 * _es("je,me->mj", t1, Pov, optimize=True),
               optimize=True), 0, 1)
-          + 0.5 * jnp.einsum("mnab,mnij->ijab", tau, Hoooo, optimize=True)
-          + 0.5 * jnp.einsum("ijef,abef->ijab", tau, Hvvvv, optimize=True)
+          + 0.5 * _es("mnab,mnij->ijab", tau, Hoooo, optimize=True)
+          + 0.5 * _es("ijef,abef->ijab", tau, Hvvvv, optimize=True)
           + permute(permute(
-              jnp.einsum("imae,mbej->ijab", t2, Hovvo, optimize=True)
-              - jnp.einsum("ie,ma,mbej->ijab", t1, t1, B["ovvo"], optimize=True),
+              _es("imae,mbej->ijab", t2, Hovvo, optimize=True)
+              - _es("ie,ma,mbej->ijab", t1, t1, B["ovvo"], optimize=True),
               2, 3), 0, 1)
           + _u_singles_driven(B, t1))
     return d1 * r1, d2 * r2
@@ -599,6 +612,8 @@ class CCSettings:
     damping: float
     o_start: int = 0       # global index of the first correlated orbital
                            # (nonzero under FREEZECORE; used by CC2/CC3)
+    use_ozaki: bool = False  # route the Newton finisher's f64 residual
+                             # through ops.ozaki slice matmuls (accelerators)
 
 
 def _push_ring(buf, entry, n_valid, max_n):
@@ -631,9 +646,9 @@ def _diis_coefficients(err_buf, n_valid, M):
     return ok & jnp.all(jnp.isfinite(coeffs)), coeffs
 
 
-def _make_cc_solver(settings: CCSettings):
-    """Compile the full iteration (update + energy + DIIS + damping +
-    convergence) into one on-device while_loop."""
+def _build_cc_solver_fn(settings: CCSettings):
+    """The full iteration (update + energy + DIIS + damping + convergence)
+    as one on-device while_loop (unjitted; see get_cc_solver)."""
     restricted = settings.restricted
     method = settings.method
     M = settings.max_diis
@@ -659,9 +674,18 @@ def _make_cc_solver(settings: CCSettings):
                "v": slice(settings.o_start + no, None)}
 
         def apply_update(t1, t2):
-            if restricted:
-                return update(B, F[o, v], d1, d2, t1, t2, aux)
-            return update(B, F, o, v, d1, d2, t1, t2, aux)
+            # f64 contractions route through ops.ozaki slice matmuls when
+            # enabled (trace-time redirect; ozaki falls back for f32 inputs,
+            # so the same builder serves the f32 warm phase).
+            token = (_EINSUM_IMPL.set(ozaki.einsum) if settings.use_ozaki
+                     else None)
+            try:
+                if restricted:
+                    return update(B, F[o, v], d1, d2, t1, t2, aux)
+                return update(B, F, o, v, d1, d2, t1, t2, aux)
+            finally:
+                if token is not None:
+                    _EINSUM_IMPL.reset(token)
 
         def body(carry):
             (step, E, t1, t2, a1_buf, a2_buf, err_buf, n_valid, conv, failed,
@@ -722,7 +746,7 @@ def _make_cc_solver(settings: CCSettings):
         return (step - 1, conv, failed, E, t1, t2, stats,
                 jnp.stack([E_s, E_c, E_d]))
 
-    return jax.jit(solver)
+    return solver
 
 
 _SOLVER_CACHE: dict = {}
@@ -730,7 +754,7 @@ _SOLVER_CACHE: dict = {}
 
 def get_cc_solver(settings: CCSettings):
     if settings not in _SOLVER_CACHE:
-        _SOLVER_CACHE[settings] = _make_cc_solver(settings)
+        _SOLVER_CACHE[settings] = jax.jit(_build_cc_solver_fn(settings))
     return _SOLVER_CACHE[settings]
 
 
@@ -750,7 +774,7 @@ def get_cc_solver(settings: CCSettings):
 # eagerly in f64 NumPy.)
 
 _NEWTON_MAX_STEPS = 6
-_GMRES_KRYLOV = 12
+_GMRES_KRYLOV = 10
 
 
 def _gmres_static(matvec, rhs, m=_GMRES_KRYLOV):
@@ -788,7 +812,7 @@ def _gmres_static(matvec, rhs, m=_GMRES_KRYLOV):
     return s
 
 
-def _make_newton_finisher(settings: CCSettings):
+def _build_newton_fn(settings: CCSettings):
     restricted = settings.restricted
     update = (_RESTRICTED_UPDATES if restricted else _UNRESTRICTED_UPDATES)[settings.method]
     no, nv = settings.n_occ, settings.n_virt
@@ -833,8 +857,19 @@ def _make_newton_finisher(settings: CCSettings):
         def body(carry):
             step, E, t1, t2, conv, failed, hist = carry
 
-            # ONE f64 residual (the only emulated-f64 work per Newton step)
-            p1, p2 = phi(B64, F, d1, d2, t1, t2)
+            # ONE f64 residual (the only emulated-f64 work per Newton step).
+            # On accelerators its contractions are traced through ops.ozaki:
+            # exact bf16 slice matmuls on the MXU instead of ~40 us/op
+            # emulated-f64 dots (the ContextVar redirect happens at trace
+            # time, so the jitted executable bakes the choice in).
+            if settings.use_ozaki:
+                token = _EINSUM_IMPL.set(ozaki.einsum)
+                try:
+                    p1, p2 = phi(B64, F, d1, d2, t1, t2)
+                finally:
+                    _EINSUM_IMPL.reset(token)
+            else:
+                p1, p2 = phi(B64, F, d1, d2, t1, t2)
             r1 = p1 - t1
             r2 = p2 - t2
             En = energy_fn(t1=t1, t2=t2)[0]
@@ -887,7 +922,7 @@ def _make_newton_finisher(settings: CCSettings):
         return (step - 1, conv, failed, E_total, t1, t2, hist,
                 jnp.stack([E_s, E_c, E_d]))
 
-    return jax.jit(finisher)
+    return finisher
 
 
 _FINISHER_CACHE: dict = {}
@@ -895,8 +930,45 @@ _FINISHER_CACHE: dict = {}
 
 def get_newton_finisher(settings: CCSettings):
     if settings not in _FINISHER_CACHE:
-        _FINISHER_CACHE[settings] = _make_newton_finisher(settings)
+        _FINISHER_CACHE[settings] = jax.jit(_build_newton_fn(settings))
     return _FINISHER_CACHE[settings]
+
+
+def _build_production_fn(settings: CCSettings):
+    """f32 DIIS warm solve + Newton--Krylov f64 refinement fused into ONE
+    jittable call: a single device dispatch (the per-call round trip through
+    the remote-TPU tunnel costs ~25 ms, comparable to the whole solve) and no
+    intermediate host transfers of the warm amplitudes."""
+    solve_fn = _build_cc_solver_fn(settings)
+    finish_fn = _build_newton_fn(settings)
+
+    def production(g, F, d1, d2, t1_0, t2_0, ERI_AO, C, H_core, d3,
+                   energy_conv, amp_conv):
+        f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+        f64 = t2_0.dtype
+        warm = solve_fn(f32(g), f32(F), f32(d1), f32(d2), f32(t1_0),
+                        f32(t2_0), f32(ERI_AO), f32(C), f32(H_core), f32(d3),
+                        1e-6, 1e-4)
+        n_warm, warm_conv, warm_failed = warm[0], warm[1], warm[2]
+        warm_ok = warm_conv & ~warm_failed
+        t1w = jnp.where(warm_ok, warm[4].astype(f64), t1_0)
+        t2w = jnp.where(warm_ok, warm[5].astype(f64), t2_0)
+        n_warm = jnp.where(warm_ok, n_warm, 0)
+        out = finish_fn(g, F, d1, d2, t1w, t2w, energy_conv, amp_conv)
+        return (n_warm, warm_ok, warm[6]) + out
+
+    return production
+
+
+_PRODUCTION_CACHE: dict = {}
+
+
+def get_production_solver(settings: CCSettings):
+    """(n_warm_f32, warm_ok, warm_stats, n_newton, converged, failed, E,
+    t1, t2, newton_hist, energy_parts) in one jitted call."""
+    if settings not in _PRODUCTION_CACHE:
+        _PRODUCTION_CACHE[settings] = jax.jit(_build_production_fn(settings))
+    return _PRODUCTION_CACHE[settings]
 
 
 # ---------------------------------------------------------------------------
@@ -978,6 +1050,7 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
         max_diis=int(calculation.max_DIIS_matrices),
         damping=float(calculation.correlated_damping_parameter),
         o_start=int(o.start or 0),
+        use_ozaki=jax.default_backend() != "cpu",
     )
 
     # Frozen-core slices start at o.start; shift to local indexing for the
@@ -991,40 +1064,33 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
     # Mixed-precision solve on accelerators: every f64-emulated op carries a
     # large fixed cost on TPU, so (1) converge the amplitudes at native-f32
     # DIIS speed, then (2) refine to the f64 fixed point with the
-    # Newton--Krylov finisher, whose only emulated-f64 work is one residual
-    # evaluation per quadratic step (typically two).  The pure-f64 while_loop
+    # Newton--Krylov finisher, whose only emulated-f64 work is one
+    # (ozaki-sliced) residual evaluation per quadratic step (typically two).
+    # Both phases run fused in ONE device call.  The pure-f64 while_loop
     # remains the CPU path and the fallback if either phase fails.
     n_warm = 0
     newton_done = False
     if jax.default_backend() != "cpu" and base_name not in ("CC2", "CC3"):
-        f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
-        (n_warm, warm_conv, warm_failed, _, t1_w, t2_w, _, _) = solver(
-            f32(g), f32(F), f32(d1), f32(d2), f32(t_ia), f32(t_ijab),
-            f32(ERI_AO), f32(C), f32(H_core), f32(d3), 1e-6, 1e-4)
-        n_warm = int(n_warm)
-        if bool(warm_conv) and not bool(warm_failed):
+        production = get_production_solver(settings)
+        (n_warm_j, warm_ok, _, n_newton, nconv, nfailed, E_CC, t1, t2,
+         hist, parts) = production(
+            g, F, d1, d2, t_ia, t_ijab, ERI_AO, C, H_core, d3,
+            calculation.energy_convergence, calculation.amp_conv)
+        n_warm = int(n_warm_j)
+        if n_warm:
             log(f"  (Warmed up amplitudes with {n_warm} single-precision "
                 "iterations)", calculation, 3, silent=silent)
-            t_ia = jnp.asarray(t1_w, dtype=t_ia.dtype)
-            t_ijab = jnp.asarray(t2_w, dtype=t_ijab.dtype)
-
-            finisher = get_newton_finisher(settings)
-            (n_newton, nconv, nfailed, E_CC, t1, t2, stats, parts) = finisher(
-                g, F, d1, d2, t_ia, t_ijab,
-                calculation.energy_convergence, calculation.amp_conv)
-            if bool(nconv) and not bool(nfailed):
-                newton_done = True
-                n_steps = int(n_newton)
-                stats = np.asarray(stats)
-                for i in range(n_steps):
-                    log(f"  {i + 1:3.0f} (Newton)  {stats[i, 0]:13.10f}         "
-                        f"{stats[i, 1]:13.10f}", calculation, 1, silent=silent)
-            else:
-                # seed the f64 loop with whatever Newton achieved
-                t_ia = jnp.asarray(t1, dtype=t_ia.dtype)
-                t_ijab = jnp.asarray(t2, dtype=t_ijab.dtype)
+        if bool(nconv) and not bool(nfailed):
+            newton_done = True
+            n_steps = int(n_newton)
+            stats = np.asarray(hist)
+            for i in range(n_steps):
+                log(f"  {i + 1:3.0f} (Newton)  {stats[i, 0]:13.10f}         "
+                    f"{stats[i, 1]:13.10f}", calculation, 1, silent=silent)
         else:
-            n_warm = 0
+            # seed the f64 loop with whatever the mixed phases achieved
+            t_ia = jnp.asarray(t1, dtype=t_ia.dtype)
+            t_ijab = jnp.asarray(t2, dtype=t_ijab.dtype)
 
     if not newton_done:
         (n_steps, converged, failed, E_CC, t1, t2, stats, parts) = solver(
