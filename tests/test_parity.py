@@ -40,6 +40,7 @@ def test_gate_1_hf_sto3g():
     assert_parity("SPE : H H 0.74 : HF STO-3G : TIGHTSCF")
 
 
+@pytest.mark.smoke
 def test_gate_2_mp2_n2():
     assert_parity("SPE : N N 1.1 : MP2 6-31G : TIGHTSCF")
 
@@ -63,6 +64,7 @@ def test_dft_cell_b3lyp():
     assert_parity("SPE : H H 0.74 : B3LYP 6-31G : TIGHTSCF", tol=2e-7)
 
 
+@pytest.mark.smoke
 def test_cis_excitation():
     assert_parity("SPE : H H 0.74 : CIS 6-31G : NSTATES 3 TIGHTSCF")
 
@@ -83,6 +85,7 @@ def test_mp4_cell():
     assert_parity("SPE : H H 0.74 : MP4 6-31G : TIGHTSCF")
 
 
+@pytest.mark.smoke
 def test_ccsd_lih():
     assert_parity("SPE : LI H 1.6 : CCSD STO-3G : TIGHTSCF")
 
@@ -152,3 +155,10 @@ def test_scan_matches_reference():
                                                      silent=True)
     for E_o, E_r in zip(energies_ours, energies_ref):
         assert abs(E_o - E_r) < 1e-8
+
+
+@pytest.mark.slow
+def test_hf_cc_pv5z_large_basis():
+    """Large-basis single point (reference needs ~3 GB for the stored ERI,
+    Manual section 7.2); pins the g-function integral path."""
+    assert_parity("SPE : H H 0.74 : HF CC-PV5Z : TIGHTSCF", tol=1e-7)

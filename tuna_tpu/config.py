@@ -72,6 +72,7 @@ KEYWORDS = [
     Kw("TD", "time_dependent"),
     Kw("NL", "VV10"),
     Kw("RELAXED", "relaxed_density"),
+    Kw(("DIRECT", "DIRECTSCF"), "direct_scf"),
     Kw("UNRELAXED", "unrelaxed_density"),
     Kw("STAB", "stability_analysis"),
     Kw("NOTRIPLETS", "calculate_no_triplets"),

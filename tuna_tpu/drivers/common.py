@@ -107,8 +107,9 @@ def transform_to_spherical_harmonics(S, T, V_NE, D, Q, ERI, molecule, calculatio
     V_NE = U @ V_NE @ U.T
     D = jnp.einsum("mw,awx,nx->amn", U, D, U)
     Q = jnp.einsum("mw,awx,nx->amn", U, Q, U)
-    for _ in range(4):
-        ERI = jnp.moveaxis(jnp.tensordot(U, ERI, axes=(1, 0)), 0, 3)
+    if ERI is not None:
+        for _ in range(4):
+            ERI = jnp.moveaxis(jnp.tensordot(U, ERI, axes=(1, 0)), 0, 3)
     log("[Done]\n", calculation, 1, silent=silent)
     timer("Spherical harmonic transformation", 1)
     return S, T, V_NE, D, Q, ERI
@@ -136,12 +137,14 @@ def calculate_analytical_integrals(molecule, calculation, silent) -> Integrals:
     if molecule.n_atoms == 2 and (np.abs(coords[:, :2]) > 1e-10).any():
         error("Molecule is incorrectly aligned! Unable to calculate molecular integrals.")
 
+    direct = bool(getattr(calculation, "direct_scf", False))
     memory_bytes = 8 * molecule.n_cartesian_basis**4
     log(f" Memory required for two-electron integrals is "
         f"{memory_bytes / 1e9:.2f} GB\n", calculation, 3, silent=silent)
-    if memory_bytes > 12e9:
+    if memory_bytes > 12e9 and not direct:
         error("Not enough memory to store two-electron integrals! "
-              "Try a smaller basis set or bigger computer.")
+              'Use the "DIRECT" keyword (integral-direct SCF) or a smaller '
+              "basis set.")
 
     plan = get_integral_plan(molecule)
 
@@ -153,11 +156,20 @@ def calculate_analytical_integrals(molecule, calculation, silent) -> Integrals:
     timer("One-electron integrals", 1)
     log("[Done]", calculation, 1, silent=silent)
 
-    log(" Calculating two-electron integrals...     ", calculation, 1, end="", silent=silent)
-    timer("Two-electron integrals", 0)
-    ERI = plan.eri(jnp.asarray(coords))
-    timer("Two-electron integrals", 1)
-    log("[Done]", calculation, 1, silent=silent)
+    if direct:
+        # Integral-direct SCF: J/K are contracted against the quartet values
+        # as they are generated (IntegralPlan.fock_direct), so the N^4 tensor
+        # is never formed.  An upgrade over the reference, which can only
+        # store it (tuna_kernel.py:392-406).
+        log(" Two-electron integrals deferred (integral-direct SCF).",
+            calculation, 1, silent=silent)
+        ERI = None
+    else:
+        log(" Calculating two-electron integrals...     ", calculation, 1, end="", silent=silent)
+        timer("Two-electron integrals", 0)
+        ERI = plan.eri(jnp.asarray(coords))
+        timer("Two-electron integrals", 1)
+        log("[Done]", calculation, 1, silent=silent)
 
     S, T, V_NE, D, Q, ERI = transform_to_spherical_harmonics(
         S, T, V_NE, D, Q, ERI, molecule, calculation, silent)

@@ -139,9 +139,31 @@ def calculate_energy(calculation, atomic_symbols, coordinates, P_guess=None,
         from ..dft import make_xc_closure
         xc_closure = make_xc_closure(calculation, grid_container)
 
+    fock_closure = None
+    if getattr(calculation, "direct_scf", False):
+        if calculation.method.name not in ("HF", "UHF") or calculation.DFT_calculation:
+            error('The "DIRECT" (integral-direct SCF) keyword supports '
+                  "mean-field HF/UHF only: correlated and DFT methods need "
+                  "the stored two-electron tensor downstream.")
+        if calculation.stability_analysis or calculation.time_dependent:
+            error("Stability analysis and excited states need the stored "
+                  'two-electron tensor; remove the "DIRECT" keyword.')
+        plan = common.get_integral_plan(molecule)
+        coords_dev = jnp.asarray(coordinates)
+        if calculation.cartesian_harmonics:
+            def fock_closure(P):
+                return plan._fock_direct_impl(coords_dev, P)
+        else:
+            U_sph = jnp.asarray(molecule.spherical_transformation)
+
+            def fock_closure(P):
+                J_c, K_c = plan._fock_direct_impl(coords_dev, U_sph.T @ P @ U_sph)
+                return U_sph @ J_c @ U_sph.T, U_sph @ K_c @ U_sph.T
+
     SCF_output = run_self_consistent_field(
         molecule, calculation, integrals, V_NN, X, guess_container,
-        grid_container, silent, xc_closure=xc_closure)
+        grid_container, silent, xc_closure=xc_closure,
+        fock_closure=fock_closure)
 
     if getattr(calculation, "checkpoint", False):
         from .. import checkpoint

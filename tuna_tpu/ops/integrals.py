@@ -202,6 +202,15 @@ class IntegralPlan:
         self.ao_i = jnp.array(ao_i, dtype=jnp.int32)
         self.ao_j = jnp.array(ao_j, dtype=jnp.int32)
         self.pair_id = jnp.array(pair_id, dtype=jnp.int32)
+        # AO indices per ordered AO pair id (i >= j)
+        pid_i = np.zeros(pid, dtype=np.int32)
+        pid_j = np.zeros(pid, dtype=np.int32)
+        for i in range(N):
+            for j in range(i + 1):
+                pid_i[pair_index[i, j]] = i
+                pid_j[pair_index[i, j]] = j
+        self.pid_i = jnp.array(pid_i)
+        self.pid_j = jnp.array(pid_j)
         self.a = jnp.array(a_list)
         self.b = jnp.array(b_list)
         self.coef = jnp.array(coef_list)
@@ -236,6 +245,7 @@ class IntegralPlan:
                 and os.environ.get("TUNA_TPU_ERI_DEVICE") != "1"):
             eri_backend = "cpu"
         self._eri = jax.jit(self._eri_impl, backend=eri_backend)
+        self._fock_direct = jax.jit(self._fock_direct_impl, backend=eri_backend)
 
     # ------------------------------------------------------------------
     # One-electron integrals: S, T, V_NE, D (3), Q (3)  [Cartesian basis]
@@ -382,7 +392,10 @@ class IntegralPlan:
         hz = hs[2] * full_powers
         return hx, hy, hz, p, Pz
 
-    def _eri_impl(self, coords):
+    def _sweep_rows(self, coords):
+        """Shared row-chunked quartet sweep: returns (rows pytree, fn) where
+        fn(row) -> (R, n_pairs) AO-pair-binned integral values for that row
+        chunk.  Consumers (full ERI build, direct Fock) scan over it."""
         lmax = self.lmax
         tmax = 2 * lmax          # max Hermite order per pair per axis
         mmax = lmax              # per-pair (t+u)/2 cap
@@ -421,7 +434,7 @@ class IntegralPlan:
         col_pid = self.pair_id
         col_coef = self.coef
 
-        def chunk_body(carry, row):
+        def chunk_values(row):
             # row tensors: (R, ...); columns: (npp, ...)
             p12 = row["p"][:, None]            # (R, 1)
             q34 = p[None, :]                   # (1, npp)
@@ -488,17 +501,88 @@ class IntegralPlan:
             vals = row["coef"][:, None] * col_coef[None, :] * pref * total  # (R, npp)
 
             # reduce columns into AO-pair bins
-            cols_reduced = jax.ops.segment_sum(vals.T, col_pid, num_segments=self.n_pairs).T  # (R, n_pairs)
-            carry = carry.at[row["pid"]].add(cols_reduced)
+            return jax.ops.segment_sum(vals.T, col_pid,
+                                       num_segments=self.n_pairs).T  # (R, n_pairs)
+
+        return rows, chunk_values, p.dtype
+
+    def _eri_impl(self, coords):
+        rows, chunk_values, dtype = self._sweep_rows(coords)
+
+        def chunk_body(carry, row):
+            carry = carry.at[row["pid"]].add(chunk_values(row))
             return carry, None
 
-        out0 = jnp.zeros((self.n_pairs, self.n_pairs), dtype=p.dtype)
+        out0 = jnp.zeros((self.n_pairs, self.n_pairs), dtype=dtype)
         out, _ = jax.lax.scan(chunk_body, out0, rows)
 
         # Expand packed pair matrix to the full N^4 tensor
         pidx = jnp.array(self.pair_index)
         eri = out[pidx[:, :, None, None], pidx[None, None, :, :]]
         return eri
+
+    # ------------------------------------------------------------------
+    # Direct Fock build: J/K contracted during the sweep, O(chunk x N^2)
+    # memory, the N^4 tensor is never materialised.
+    # ------------------------------------------------------------------
+
+    def fock_direct(self, coords, P):
+        """Coulomb and exchange matrices J, K for (symmetric) density P,
+        contracted against permutation-unique integral values as they are
+        generated.  This is the large-basis path: the reference must store
+        the N^4 tensor and pre-flight-checks host RAM (tuna_kernel.py:392-406,
+        3 GB at cc-pV5Z / 32 GB at cc-pV6Z); here peak memory is the row
+        chunk's (R, n_pairs) workspace.
+        """
+        return self._fock_direct(coords, P)
+
+    def _fock_direct_impl(self, coords, P):
+        rows, chunk_values, dtype = self._sweep_rows(coords)
+        N = self.n_basis
+        kcol, lcol = self.pid_i, self.pid_j       # column pair AOs (k >= l)
+        # column degeneracy for J; off-diagonal K mask for the k<->l swap
+        Pp = P[kcol, lcol] * jnp.where(kcol == lcol, 1.0, 2.0)
+        m_kl = jnp.where(kcol == lcol, 0.0, 1.0)
+
+        def chunk_body(carry, row):
+            J_pair, K = carry
+            v = chunk_values(row)                  # (R, n_pairs)
+            irow = self.pid_i[row["pid"]]          # (R,) AO i >= j
+            jrow = self.pid_j[row["pid"]]
+            m_ij = jnp.where(irow == jrow, 0.0, 1.0)[:, None]
+
+            # J[i,j] = sum_c (ij|c) P_c  -- one dot per row, binned by pid
+            contrib = v @ Pp                       # (R,)
+            J_pair = J_pair.at[row["pid"]].add(contrib)
+
+            # K[m,n] += (ms|tn) P[t,s] over the distinct dense positions this
+            # packed value occupies: (m,s) in {(i,j),(j,i)}, (t,n) in
+            # {(k,l),(l,k)} (degenerate options masked out)
+            def seg(values, segments):
+                return jax.ops.segment_sum(values.T, segments,
+                                           num_segments=N).T  # (R, N)
+
+            P_kj = P[kcol[None, :], jrow[:, None]]  # (R, n_pairs)
+            P_lj = P[lcol[None, :], jrow[:, None]]
+            P_ki = P[kcol[None, :], irow[:, None]]
+            P_li = P[lcol[None, :], irow[:, None]]
+
+            rows_i = seg(v * P_kj, lcol) + seg(v * P_lj * m_kl[None, :], kcol)
+            rows_j = (seg(v * P_ki, lcol)
+                      + seg(v * P_li * m_kl[None, :], kcol)) * m_ij
+            K = K.at[irow].add(rows_i)
+            K = K.at[jrow].add(rows_j)
+            return (J_pair, K), None
+
+        carry0 = (jnp.zeros(self.n_pairs, dtype=dtype),
+                  jnp.zeros((N, N), dtype=dtype))
+        (J_pair, K), _ = jax.lax.scan(chunk_body, carry0, rows)
+
+        # unpack the J pair vector symmetrically
+        J = jnp.zeros((N, N), dtype=dtype)
+        J = J.at[self.pid_i, self.pid_j].set(J_pair)
+        J = J + jnp.triu(J.T, k=1)
+        return J, K
 
 
 def cross_overlap(basis_functions_1, basis_functions_2) -> np.ndarray:

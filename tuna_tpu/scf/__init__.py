@@ -190,12 +190,16 @@ def _electronic_energy(P_a, P_b, J_a, J_b, K_a, K_b, T, V_NE, Fld, G,
     return total, components
 
 
-def _make_scf_kernel(settings: SCFSettings, xc_closure=None):
+def _make_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
     """Build the jitted SCF while_loop for a given static configuration.
 
     xc_closure(P_a, P_b) -> (V_XC_a, V_XC_b, E_x_grid, E_c_grid,
                              density, alpha_density, beta_density)
     or None for Hartree-Fock.  Grid arrays are closed over as constants.
+
+    fock_closure(P) -> (J, K) replaces the stored-ERI einsums with a direct
+    (integral-regenerating) build -- the large-basis path where the N^4
+    tensor is never materialised; the ERI argument is then a dummy.
     """
     restricted = settings.reference == "RHF"
     N = settings.n_basis
@@ -225,15 +229,21 @@ def _make_scf_kernel(settings: SCFSettings, xc_closure=None):
                 density = dens_a = dens_b = jnp.zeros((1,), dtype=dtype)
 
             # Fock build from current (old) density
-            J_a = coulomb_matrix(P_a, ERI)
-            K_a = exchange_matrix(P_a, ERI)
+            if fock_closure is not None:
+                J_a, K_a = fock_closure(P_a)
+            else:
+                J_a = coulomb_matrix(P_a, ERI)
+                K_a = exchange_matrix(P_a, ERI)
             if restricted:
                 J_b, K_b = J_a, K_a
                 F_a = symmetrise(T + V_NE + Fld + G + 2.0 * J_a - K_a * HFX_prop + V_XC_a)
                 F_b = F_a
             else:
-                J_b = coulomb_matrix(P_b, ERI)
-                K_b = exchange_matrix(P_b, ERI)
+                if fock_closure is not None:
+                    J_b, K_b = fock_closure(P_b)
+                else:
+                    J_b = coulomb_matrix(P_b, ERI)
+                    K_b = exchange_matrix(P_b, ERI)
                 F_a = symmetrise(T + V_NE + J_a + J_b + Fld + G - K_a * HFX_prop + V_XC_a)
                 F_b = symmetrise(T + V_NE + J_a + J_b + Fld + G - K_b * HFX_prop + V_XC_b)
 
@@ -359,10 +369,11 @@ def _make_scf_kernel(settings: SCFSettings, xc_closure=None):
 _KERNEL_CACHE: dict = {}
 
 
-def get_scf_kernel(settings: SCFSettings, xc_closure=None):
-    key = (settings, id(xc_closure) if xc_closure is not None else None)
+def get_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
+    key = (settings, id(xc_closure) if xc_closure is not None else None,
+           id(fock_closure) if fock_closure is not None else None)
     if key not in _KERNEL_CACHE:
-        _KERNEL_CACHE[key] = _make_scf_kernel(settings, xc_closure)
+        _KERNEL_CACHE[key] = _make_scf_kernel(settings, xc_closure, fock_closure)
     return _KERNEL_CACHE[key]
 
 
@@ -372,7 +383,7 @@ def get_scf_kernel(settings: SCFSettings, xc_closure=None):
 
 def run_self_consistent_field(molecule, calculation, integrals: Integrals, V_NN,
                               X, guess_objects, grid_container=None, silent=False,
-                              xc_closure=None) -> Output:
+                              xc_closure=None, fock_closure=None) -> Output:
     """Run the SCF loop and assemble the Output container."""
     timer("Self-consistent field", 0)
     P, P_alpha, P_beta, E_guess = guess_objects
@@ -406,7 +417,7 @@ def run_self_consistent_field(molecule, calculation, integrals: Integrals, V_NN,
         functional_class=calculation.functional.functional_class,
     )
 
-    kernel = get_scf_kernel(settings, xc_closure)
+    kernel = get_scf_kernel(settings, xc_closure, fock_closure)
 
     Fld = integrals.F if integrals.F is not None else jnp.zeros_like(integrals.S)
     G = integrals.G if integrals.G is not None else jnp.zeros_like(integrals.S)
@@ -417,8 +428,10 @@ def run_self_consistent_field(molecule, calculation, integrals: Integrals, V_NN,
     # CPU reference at N2/6-311G and N2/cc-pVTZ.
     static_damping = calculation.damping_factor if calculation.damping_factor is not None else 0.0
 
+    ERI_arg = (integrals.ERI_AO if integrals.ERI_AO is not None
+               else jnp.zeros((1, 1, 1, 1)))
     n_steps, converged, E, P_a, P_b, stats, outs = kernel(
-        integrals.T, integrals.V_NE, integrals.ERI_AO, integrals.S, X, Fld, G,
+        integrals.T, integrals.V_NE, ERI_arg, integrals.S, X, Fld, G,
         jnp.asarray(P_alpha), jnp.asarray(P_beta), E_guess,
         calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
         conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
