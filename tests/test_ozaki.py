@@ -66,3 +66,13 @@ def test_zero_operand():
     B = jnp.asarray(RNG.randn(8, 5))
     got = np.asarray(ozaki.einsum("ik,kj->ij", A, B))
     assert np.all(got == 0.0)
+
+
+def test_long_contraction_narrow_slices():
+    """K > 1024 forces narrower (6-bit) slices; accuracy must hold (this is
+    the cc-pVTZ particle-particle-ladder regime)."""
+    A = jnp.asarray(RNG.randn(12, 1600) * 0.3)
+    B = jnp.asarray(RNG.randn(1600, 9))
+    got = np.asarray(ozaki.matmul(A, B))
+    want = np.asarray(A @ B)
+    assert np.max(np.abs(got - want)) < 1e-10 * np.max(np.abs(want))
