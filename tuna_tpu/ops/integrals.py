@@ -434,6 +434,29 @@ class IntegralPlan:
         col_pid = self.pair_id
         col_coef = self.coef
 
+        # Constant coupling tensors (host-built, tiny): convolution along the
+        # Hermite order axes as single einsums instead of ~tmax^2 unrolled
+        # multiply-adds per axis -- fewer/larger ops for XLA, and a much
+        # smaller compiled program.
+        n2t = 2 * tmax
+        conv_T = np.zeros((tmax + 1, tmax + 1, n2t + 1))       # t, u -> t+u
+        for t in range(tmax + 1):
+            for u in range(tmax + 1):
+                conv_T[t, u, t + u] = 1.0
+        conv_T = jnp.asarray(conv_T)
+        # even-order pairing with double factorials: (2m1, 2m2) -> m1+m2
+        pair_E = np.zeros((n2t + 1, n2t + 1, nmax4 + 1))
+        for m1 in range(2 * mmax + 1):
+            for m2 in range(2 * mmax + 1):
+                if m1 + m2 <= nmax4:
+                    pair_E[2 * m1, 2 * m2, m1 + m2] = dfact[m1] * dfact[m2]
+        pair_E = jnp.asarray(pair_E)
+        # valid (V, n) mask: only n <= nmax4 - V entries of the Rz table hold
+        # meaningful values (the rest are static-shape garbage)
+        vn_mask = jnp.asarray(np.array([[1.0 if n <= nmax4 - V else 0.0
+                                         for n in range(nmax4 + 1)]
+                                        for V in range(vmax4 + 1)]))
+
         def chunk_values(row):
             # row tensors: (R, ...); columns: (npp, ...)
             p12 = row["p"][:, None]            # (R, 1)
@@ -466,36 +489,19 @@ class IntegralPlan:
             gy34 = hy34_all[None, :, :] * r34_half
             gz34 = hz34_all[None, :, :] * r34_full
 
-            # Correlations: Gx[T] = sum_{t+tau=T} gx12[t] gx34[tau]
-            def correlate(g1, g2, nmax_t):
-                out = [0.0] * (nmax_t + 1)
-                for t in range(tmax + 1):
-                    for u in range(tmax + 1):
-                        out[t + u] = out[t + u] + g1[..., t] * g2[..., u]
-                return out
+            # Correlations G[T] = sum_{t+u=T} g1[t] g2[u], one einsum per axis
+            Gx = jnp.einsum("rct,rcu,tuT->rcT", gx12, gx34, conv_T)
+            Gy = jnp.einsum("rct,rcu,tuT->rcT", gy12, gy34, conv_T)
+            Gz = jnp.einsum("rct,rcu,tuT->rcT", gz12, gz34, conv_T)
 
-            Gx = correlate(gx12, gx34, 2 * tmax)
-            Gy = correlate(gy12, gy34, 2 * tmax)
-            Gz = correlate(gz12, gz34, 2 * tmax)
-
-            # axy[n] = sum over even T, U with T/2 + U/2 = n of Gx[T](T-1)!! etc.
-            axy = [0.0] * (nmax4 + 1)
-            for m1 in range(2 * mmax + 1):
-                for m2 in range(2 * mmax + 1):
-                    if m1 + m2 <= nmax4:
-                        axy[m1 + m2] = axy[m1 + m2] + (
-                            Gx[2 * m1] * dfact[m1] * Gy[2 * m2] * dfact[m2])
+            # axy[n] = sum over even T, U with T/2 + U/2 = n, with (T-1)!!s
+            axy = jnp.einsum("rcT,rcU,TUn->rcn", Gx, Gy, pair_E)
 
             Rz = build_scaled_Rz_table(vmax4, nmax4,
                                        PQz.reshape(-1), alpha.reshape(-1))
-            Rz = Rz.reshape(PQz.shape + (vmax4 + 1, nmax4 + 1))
+            Rz = Rz.reshape(PQz.shape + (vmax4 + 1, nmax4 + 1)) * vn_mask
 
-            total = 0.0
-            for V in range(vmax4 + 1):
-                inner = 0.0
-                for n in range(nmax4 + 1 - V):
-                    inner = inner + axy[n] * Rz[..., V, n]
-                total = total + Gz[V] * inner
+            total = jnp.einsum("rcv,rcvn,rcn->rc", Gz, Rz, axy)
 
             pref = TWO_PI_POW_2_5 / (p12 * q34 * jnp.sqrt(psum))
             vals = row["coef"][:, None] * col_coef[None, :] * pref * total  # (R, npp)
