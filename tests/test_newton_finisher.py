@@ -134,3 +134,20 @@ def test_newton_from_unconverged_start(n2_sto3g):
         g, F, d1, d2, t1_0, t2_0, 1e-10, 1e-8)
     assert bool(convn) and not bool(failn)
     assert abs(float(En) - float(E64)) < 1e-10
+
+
+@pytest.mark.parametrize("line", [
+    "SPE : N N 1.1 : CCSD STO-3G : TIGHTSCF",
+    "SPE : LI H 1.6 : UCCSD STO-3G : CH 1 ML 2 NOROTATE TIGHTSCF",
+])
+def test_production_driver_path(monkeypatch, line):
+    """End-to-end driver coverage of the accelerator production path (fused
+    f32 warm + ozaki Newton finisher), forced on CPU by faking the backend:
+    must reproduce the pure-f64 path for restricted AND unrestricted CC."""
+    from tuna_tpu.cli import run
+    import tuna_tpu.post.cc as cc
+
+    E_plain = run(line, suppress_output=True)[2]
+    monkeypatch.setattr(cc.jax, "default_backend", lambda: "tpu")
+    E_mixed = run(line, suppress_output=True)[2]
+    assert abs(E_plain - E_mixed) < 1e-9, (E_plain, E_mixed)
