@@ -35,7 +35,7 @@ def note(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def ensure_live_backend(timeout=420):
+def ensure_live_backend(timeout=600):
     """Probe the configured JAX backend in a subprocess; if it hangs or fails
     (the remote-TPU tunnel can wedge for hours after a worker crash), re-exec
     on the CPU backend so the benchmark always completes and reports
@@ -102,7 +102,7 @@ def measure_ours(config=CONFIG, label="headline"):
     import jax
     import jax.numpy as jnp
     from tuna_tpu.post.cc import (CCSettings, get_cc_solver,
-                                  get_production_solver)
+                                  get_production_solver, ozaki_appropriate)
 
     note(f"devices: {jax.devices()}")
     cfg, SCF_output, g, F, d1, d2, t1_0, t2_0, o, v = _setup_ours(config)
@@ -112,7 +112,8 @@ def measure_ours(config=CONFIG, label="headline"):
         keep_disconnected=True, n_occ=o.stop - (o.start or 0),
         n_virt=int(t2_0.shape[-1]), max_iter=cfg.correlated_max_iter,
         use_diis=True, max_diis=cfg.max_DIIS_matrices, damping=0.0,
-        use_ozaki=jax.default_backend() != "cpu")
+        use_ozaki=ozaki_appropriate(
+            o.stop - (o.start or 0), int(t2_0.shape[-1])))
     solver = get_cc_solver(settings)
     production_solver = get_production_solver(settings)
     dummy, d3 = jnp.zeros((1, 1)), jnp.zeros((1,))

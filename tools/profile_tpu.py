@@ -231,7 +231,7 @@ def profile_newton(basis="6-311G"):
         keep_disconnected=True, n_occ=no, n_virt=nv,
         max_iter=cfg.correlated_max_iter, use_diis=True,
         max_diis=cfg.max_DIIS_matrices, damping=0.0,
-        use_ozaki=jax.default_backend() != "cpu")
+        use_ozaki=cc.ozaki_appropriate(no, nv))
     solver = cc.get_cc_solver(settings)
     production_solver = cc.get_production_solver(settings)
     dummy, d3 = jnp.zeros((1, 1)), jnp.zeros((1,))

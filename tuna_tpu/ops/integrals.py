@@ -244,8 +244,28 @@ class IntegralPlan:
         if (self.lmax >= 3 and jax.default_backend() != "cpu"
                 and os.environ.get("TUNA_TPU_ERI_DEVICE") != "1"):
             eri_backend = "cpu"
-        self._eri = jax.jit(self._eri_impl, backend=eri_backend)
-        self._fock_direct = jax.jit(self._fock_direct_impl, backend=eri_backend)
+        if eri_backend == "cpu":
+            # CRITICAL: the fallback returns arrays COMMITTED to the CPU
+            # device; leaking them downstream silently drags the entire
+            # SCF/CC pipeline onto the CPU backend (found in round 3: every
+            # "TPU" cc-pVTZ solve was actually executing on CPU).  Transfer
+            # the tensor to the default accelerator before returning.
+            cpu_eri = jax.jit(self._eri_impl, backend="cpu")
+            cpu_fock = jax.jit(self._fock_direct_impl, backend="cpu")
+            accel = jax.devices()[0]
+
+            def _eri_transfer(coords):
+                return jax.device_put(cpu_eri(coords), accel)
+
+            def _fock_transfer(coords, P):
+                J, K = cpu_fock(coords, P)
+                return jax.device_put(J, accel), jax.device_put(K, accel)
+
+            self._eri = _eri_transfer
+            self._fock_direct = _fock_transfer
+        else:
+            self._eri = jax.jit(self._eri_impl)
+            self._fock_direct = jax.jit(self._fock_direct_impl)
 
     # ------------------------------------------------------------------
     # One-electron integrals: S, T, V_NE, D (3), Q (3)  [Cartesian basis]

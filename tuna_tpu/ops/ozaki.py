@@ -37,6 +37,14 @@ TARGET_BITS = 42  # relative accuracy ~2^-42 of the result, ~100x below the
 MIN_SLICE_BITS = 4
 MAX_EXACT_K = 1 << (24 - 2 * MIN_SLICE_BITS)
 
+# The slice scheme beats XLA's emulated-f64 dots only in the op-overhead-
+# bound regime (measured at N2: 22.8 -> ~5 ms per CCSD residual at 6-311G,
+# but 198 -> 1214 ms at cc-pVTZ, where the many slice-pair dots and their
+# bf16 traffic dominate).  Contractions above this FLOP count go through the
+# plain emulated-f64 dot, which runs at ~1.86 Tflop/s.
+MAX_OZAKI_FLOPS = float(__import__("os").environ.get(
+    "TUNA_TPU_OZAKI_MAX_FLOPS", 3e7))
+
 
 def _plan(K):
     """(slice_bits, n_slices, pair_cutoff) for a contraction of length K."""
@@ -114,6 +122,25 @@ def _split_cached(X, bits, n_slices):
     return result
 
 
+def warm_presplits(tensors, K_values):
+    """Populate the trace-time split cache for loop-invariant operands.
+
+    Call BEFORE tracing a lax.while_loop body: the cached slice tracers are
+    then created OUTSIDE the loop, so every in-loop einsum reuses them as
+    loop constants instead of re-peeling multi-MB integral blocks on every
+    iteration (measured: ~1 s/iteration of f64-emulated splitting at
+    cc-pVTZ without this).  Variants for contraction lengths that never
+    occur are pruned by XLA dead-code elimination, so over-warming is free.
+    """
+    for X in tensors:
+        if not hasattr(X, "dtype") or X.dtype != jnp.float64:
+            continue
+        for K in K_values:
+            plan = _plan(int(K))
+            if plan is not None:
+                _split_cached(X, plan[0], plan[1])
+
+
 def _parse(subscripts):
     lhs, out = subscripts.replace(" ", "").split("->")
     a_sub, b_sub = lhs.split(",")
@@ -151,11 +178,14 @@ def einsum(subscripts, *operands, **kwargs):
         return jnp.einsum(subscripts, A, B, optimize=True)
     bits, n_slices, cutoff = plan
 
+    M = int(np.prod([a_shape[c] for c in a_free])) if a_free else 1
+    N = int(np.prod([b_shape[c] for c in b_free])) if b_free else 1
+    if 2.0 * M * K * N > MAX_OZAKI_FLOPS:
+        return jnp.einsum(subscripts, A, B, optimize=True)
+
     # Split in native shape (cached per operand per trace), then move the
     # cheap bf16 slices into matmul layout:
     # A -> (free..., contracted...) -> (M, K); B -> (contracted..., free...)
-    M = int(np.prod([a_shape[c] for c in a_free])) if a_free else 1
-    N = int(np.prod([b_shape[c] for c in b_free])) if b_free else 1
     perm_a = [a_sub.index(c) for c in a_free + contracted]
     perm_b = [b_sub.index(c) for c in contracted + b_free]
     sa, A_native = _split_cached(A, bits, n_slices)

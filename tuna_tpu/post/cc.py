@@ -646,6 +646,14 @@ def _diis_coefficients(err_buf, n_valid, M):
     return ok & jnp.all(jnp.isfinite(coeffs)), coeffs
 
 
+
+def _warm_ozaki_blocks(B, F, no, nv):
+    """Hoist the splits of loop-invariant operands out of the solver loops
+    (see ozaki.warm_presplits).  K candidates cover every contracted-label
+    product the update einsums can produce."""
+    ks = {no, nv, no * no, no * nv, nv * nv, no * no * nv, no * nv * nv}
+    ozaki.warm_presplits(list(B.values()) + [F], sorted(ks))
+
 def _build_cc_solver_fn(settings: CCSettings):
     """The full iteration (update + energy + DIIS + damping + convergence)
     as one on-device while_loop (unjitted; see get_cc_solver)."""
@@ -667,6 +675,8 @@ def _build_cc_solver_fn(settings: CCSettings):
             B = _unrestricted_blocks(g, o, v)
             energy_fn = partial(_unrestricted_energy, B, F[o, v],
                                 keep_disconnected=settings.keep_disconnected)
+        if settings.use_ozaki:
+            _warm_ozaki_blocks(B, F, no, nv)
         # CC2/CC3 rebuild T1-dressed MO integrals from the AO tensor each
         # iteration, indexed in the GLOBAL orbital space.
         aux = {"ERI_AO": ERI_AO, "C": C, "H_core": H_core, "d3": d3,
@@ -777,6 +787,13 @@ _NEWTON_MAX_STEPS = 6
 _GMRES_KRYLOV = 10
 
 
+def ozaki_appropriate(n_occ: int, n_virt: int) -> bool:
+    """The slice scheme wins only in the op-overhead-bound regime (measured:
+    ~5x faster residuals at N2/6-311G, ~4x slower at cc-pVTZ where operand
+    traffic dominates); gate on the doubles-amplitude size."""
+    return jax.default_backend() != "cpu" and (n_occ * n_virt) ** 2 <= 50_000
+
+
 def _gmres_static(matvec, rhs, m=_GMRES_KRYLOV):
     """Statically-unrolled GMRES (no restarts): m matvecs, least squares in
     the Krylov basis via the unrolled Gauss-Jordan solve.  All indices are
@@ -828,6 +845,8 @@ def _build_newton_fn(settings: CCSettings):
 
         blocks = _restricted_blocks if restricted else _unrestricted_blocks
         B64 = blocks(g, o, v)
+        if settings.use_ozaki:
+            _warm_ozaki_blocks(B64, F, no, nv)
         g32 = jnp.asarray(g, dtype=f32)
         B32 = blocks(g32, o, v)
         F32 = jnp.asarray(F, dtype=f32)
@@ -1050,7 +1069,8 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
         max_diis=int(calculation.max_DIIS_matrices),
         damping=float(calculation.correlated_damping_parameter),
         o_start=int(o.start or 0),
-        use_ozaki=jax.default_backend() != "cpu",
+        use_ozaki=ozaki_appropriate(o.stop - (o.start or 0),
+                                    int(t_ijab.shape[-1])),
     )
 
     # Frozen-core slices start at o.start; shift to local indexing for the
