@@ -214,11 +214,12 @@ def measure_reference(config=CONFIG, label="headline", runs=2):
 
 
 def measure_secondary(basis="CC-PVTZ"):
-    """Large-basis CCSD comparison (stderr only): the FLOP-carrying regime
-    the TPU is built for -- the 6-311G headline is latency-bound at o=7,v=19."""
+    """Large-basis CCSD comparison: the FLOP-carrying regime the TPU is
+    built for -- the 6-311G headline is latency-bound at o=7,v=19 (and
+    carries this environment's ~25 ms per-call tunnel round trip)."""
     import os
     if os.environ.get("BENCH_SECONDARY", "1") == "0":
-        return
+        return None
     config = f"SPE : N N 1.1 : CCSD {basis} : TIGHTSCF"
     note(f"--- secondary metric: {config} ---")
     ours = measure_ours(config, label=basis)
@@ -227,6 +228,11 @@ def measure_secondary(basis="CC-PVTZ"):
          f"pure-f64 per-iteration speedup "
          f"{ref['per_iter_ref'] / ours['per_iter_f64_ours']:.1f}x, "
          f"energy delta {abs(ours['E_total'] - ref['E_ref']):.2e} Ha")
+    return {"wall_speedup_ccpvtz": ref["wall_ref"] / ours["wall_ours"],
+            "per_iter_f64_speedup_ccpvtz": ref["per_iter_ref"] / ours["per_iter_f64_ours"],
+            "wall_ours_ms_ccpvtz": ours["wall_ours"] * 1e3,
+            "wall_ref_ms_ccpvtz": ref["wall_ref"] * 1e3,
+            "energy_delta_ha_ccpvtz": abs(ours["E_total"] - ref["E_ref"])}
 
 
 def main():
@@ -250,8 +256,9 @@ def main():
         speedup_wall = ref["wall_ref"] / ours["wall_ours"]
         speedup_iter = ref["per_iter_ref"] / ours["per_iter_f64_ours"]
 
+        secondary = None
         try:
-            measure_secondary()
+            secondary = measure_secondary()
         except Exception as exc:  # secondary must never break the contract
             note(f"secondary metric skipped: {exc!r}")
     finally:
@@ -273,6 +280,8 @@ def main():
         "n_iter_ref": ref["n_iter_ref"],
         "energy_delta_ha": float(f"{delta:.3e}"),
         "backend": backend,
+        **({k: float(f"{val:.4g}") for k, val in secondary.items()}
+           if secondary else {}),
     }), flush=True)
 
 
