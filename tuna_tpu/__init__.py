@@ -39,6 +39,24 @@ if (_os.environ.get("JAX_PLATFORMS", "").lower() in ("", "cpu")
         and not _os.environ.get("TUNA_TPU_COMPILE_CACHE")):
     _cache_dir = None
 if _cache_dir and _cache_dir != "0":
+    # Namespace the cache by a host fingerprint: CPU executables persisted
+    # from in-process cpu-backend jits (e.g. the f-shell ERI fallback) are
+    # machine-feature-specific, and entries carried over from a different
+    # host produce "cpu_aot_loader" feature-mismatch errors (or SIGILL) when
+    # loaded.  A per-host subdirectory means foreign entries are never seen.
+    def _host_fingerprint():
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        return hashlib.sha1(line.encode()).hexdigest()[:12]
+        except OSError:
+            pass
+        import platform
+        return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+    _cache_dir = str(_pathlib.Path(_cache_dir) / _host_fingerprint())
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -173,6 +173,14 @@ def calculate_analytical_integrals(molecule, calculation, silent) -> Integrals:
 
     S, T, V_NE, D, Q, ERI = transform_to_spherical_harmonics(
         S, T, V_NE, D, Q, ERI, molecule, calculation, silent)
+
+    # Regression guard for the round-3 silent-CPU-leak class: a host-fallback
+    # stage (lmax>=3 ERIs) returning CPU-committed arrays drags every
+    # downstream jit onto the host.  Fail loudly instead.
+    from ..ops.device_guard import assert_on_accelerator
+    assert_on_accelerator(
+        {"S": S, "T": T, "V_NE": V_NE, "D": D, "Q": Q, "ERI": ERI},
+        stage="integral generation")
     return Integrals(S, T, V_NE, D, Q, ERI)
 
 

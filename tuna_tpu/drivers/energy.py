@@ -149,16 +149,21 @@ def calculate_energy(calculation, atomic_symbols, coordinates, P_guess=None,
             error("Stability analysis and excited states need the stored "
                   'two-electron tensor; remove the "DIRECT" keyword.')
         plan = common.get_integral_plan(molecule)
-        coords_dev = jnp.asarray(coordinates)
-        if calculation.cartesian_harmonics:
-            def fock_closure(P):
-                return plan._fock_direct_impl(coords_dev, P)
-        else:
-            U_sph = jnp.asarray(molecule.spherical_transformation)
-
-            def fock_closure(P):
-                J_c, K_c = plan._fock_direct_impl(coords_dev, U_sph.T @ P @ U_sph)
-                return U_sph @ J_c @ U_sph.T, U_sph @ K_c @ U_sph.T
+        import jax as _jax
+        import os as _os
+        if (plan.lmax >= 3 and _jax.default_backend() != "cpu"
+                and _os.environ.get("TUNA_TPU_ERI_DEVICE") != "1"):
+            # The f-shell quartet kernel is routed to the host CPU backend
+            # for STORED integrals (ops/integrals.py), but DIRECT traces the
+            # sweep INSIDE the jitted SCF loop where no host fallback is
+            # possible -- it would hit the known TPU worker fault.
+            error('The "DIRECT" keyword is not available for f-shell and '
+                  "higher basis sets on the TPU backend (the on-device "
+                  "quartet kernel is disabled there); remove DIRECT or run "
+                  "on the CPU backend.")
+        fock_closure = plan.fock_closure(
+            None if calculation.cartesian_harmonics
+            else molecule.spherical_transformation)
 
     SCF_output = run_self_consistent_field(
         molecule, calculation, integrals, V_NN, X, guess_container,
@@ -367,6 +372,7 @@ def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
     plain_mean_field = (calculation.method.name in ("HF", "UHF")
                         and not calculation.DFT_calculation
                         and not getattr(calculation, "extrapolate", False)
+                        and not getattr(calculation, "direct_scf", False)
                         and not np.any(calculation.electric_field)
                         and not np.any(calculation.electric_field_gradient)
                         and not calculation.dipole)

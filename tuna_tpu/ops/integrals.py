@@ -562,6 +562,33 @@ class IntegralPlan:
         """
         return self._fock_direct(coords, P)
 
+    def fock_closure(self, spherical_transformation=None):
+        """(coords, P) -> (J, K) closure for the SCF kernel's direct-Fock
+        path, in the spherical AO basis when a transformation is given.
+
+        Cached on the plan and tagged with a stable `cache_token`, so every
+        geometry of the same chemical system (OPT/FREQ/scan steps) reuses ONE
+        compiled SCF kernel -- coordinates enter as a kernel argument, never
+        as a trace constant.
+        """
+        spherical = spherical_transformation is not None
+        cached = self.__dict__.get("_fock_closures", {})
+        if spherical in cached:
+            return cached[spherical]
+        if not spherical:
+            def closure(coords, P):
+                return self._fock_direct_impl(coords, P)
+        else:
+            U_sph = jnp.asarray(spherical_transformation)
+
+            def closure(coords, P):
+                J_c, K_c = self._fock_direct_impl(coords, U_sph.T @ P @ U_sph)
+                return U_sph @ J_c @ U_sph.T, U_sph @ K_c @ U_sph.T
+        closure.cache_token = (id(self), spherical)
+        cached[spherical] = closure
+        self._fock_closures = cached
+        return closure
+
     def _fock_direct_impl(self, coords, P):
         rows, chunk_values, dtype = self._sweep_rows(coords)
         N = self.n_basis

@@ -111,6 +111,12 @@ _SPLIT_TRACE_CACHE: dict = {}
 
 
 def _split_cached(X, bits, n_slices):
+    # Only cache TRACERS: their lifetime is one trace and reuse within it is
+    # the whole point.  Caching concrete arrays (eager calls) would pin the
+    # operand plus ~3x its bytes of bf16 slices in device memory until the
+    # high-water-mark clear.
+    if not isinstance(X, jax.core.Tracer):
+        return split_fixed_point(X, bits, n_slices)
     key = (id(X), bits, n_slices)
     hit = _SPLIT_TRACE_CACHE.get(key)
     if hit is not None and hit[0] is X:
@@ -200,8 +206,14 @@ def einsum(subscripts, *operands, **kwargs):
 
 
 def matmul(A, B):
-    """f64-accurate (M,K) @ (K,N) through the slice scheme."""
-    bits, n_slices, cutoff = _plan(A.shape[1])
+    """f64-accurate (M,K) @ (K,N) through the slice scheme.
+
+    Contractions too long for an exact slice plan (K > 2^16) fall back to
+    the plain (emulated) f64 dot."""
+    plan = _plan(A.shape[1])
+    if plan is None:
+        return jnp.dot(A, B)
+    bits, n_slices, cutoff = plan
     sa, A_slices = split_fixed_point(A, bits, n_slices)
     sb, B_slices = split_fixed_point(B, bits, n_slices)
     return _matmul_sliced(sa, A_slices, sb, B_slices, bits, cutoff)

@@ -197,15 +197,17 @@ def _make_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
                              density, alpha_density, beta_density)
     or None for Hartree-Fock.  Grid arrays are closed over as constants.
 
-    fock_closure(P) -> (J, K) replaces the stored-ERI einsums with a direct
-    (integral-regenerating) build -- the large-basis path where the N^4
-    tensor is never materialised; the ERI argument is then a dummy.
+    fock_closure(coords, P) -> (J, K) replaces the stored-ERI einsums with a
+    direct (integral-regenerating) build -- the large-basis path where the
+    N^4 tensor is never materialised; the ERI argument is then a dummy.
+    Coordinates are a kernel ARGUMENT (not baked into the closure) so that
+    repeated geometries (OPT/FREQ/scans) reuse one compiled kernel.
     """
     restricted = settings.reference == "RHF"
     N = settings.n_basis
     M = settings.max_diis
 
-    def kernel(T, V_NE, ERI, S, X, Fld, G, P_a0, P_b0, E0,
+    def kernel(T, V_NE, ERI, S, X, Fld, G, coords, P_a0, P_b0, E0,
                HFX_prop, DFX_prop, DFC_prop,
                conv_dE, conv_maxDP, conv_rmsDP, conv_comm,
                static_damping, max_damping):
@@ -230,7 +232,7 @@ def _make_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
 
             # Fock build from current (old) density
             if fock_closure is not None:
-                J_a, K_a = fock_closure(P_a)
+                J_a, K_a = fock_closure(coords, P_a)
             else:
                 J_a = coulomb_matrix(P_a, ERI)
                 K_a = exchange_matrix(P_a, ERI)
@@ -240,7 +242,7 @@ def _make_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
                 F_b = F_a
             else:
                 if fock_closure is not None:
-                    J_b, K_b = fock_closure(P_b)
+                    J_b, K_b = fock_closure(coords, P_b)
                 else:
                     J_b = coulomb_matrix(P_b, ERI)
                     K_b = exchange_matrix(P_b, ERI)
@@ -369,9 +371,18 @@ def _make_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
 _KERNEL_CACHE: dict = {}
 
 
+def _closure_token(closure):
+    """Stable cache identity for a kernel closure.  Closures that are reused
+    across geometries (e.g. an IntegralPlan's direct-Fock build) carry a
+    `cache_token`; falling back to id() keys one kernel per closure object,
+    which is correct but recompiles when callers rebuild closures."""
+    if closure is None:
+        return None
+    return getattr(closure, "cache_token", id(closure))
+
+
 def get_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
-    key = (settings, id(xc_closure) if xc_closure is not None else None,
-           id(fock_closure) if fock_closure is not None else None)
+    key = (settings, _closure_token(xc_closure), _closure_token(fock_closure))
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = _make_scf_kernel(settings, xc_closure, fock_closure)
     return _KERNEL_CACHE[key]
@@ -432,6 +443,7 @@ def run_self_consistent_field(molecule, calculation, integrals: Integrals, V_NN,
                else jnp.zeros((1, 1, 1, 1)))
     n_steps, converged, E, P_a, P_b, stats, outs = kernel(
         integrals.T, integrals.V_NE, ERI_arg, integrals.S, X, Fld, G,
+        jnp.asarray(molecule.coordinates),
         jnp.asarray(P_alpha), jnp.asarray(P_beta), E_guess,
         calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
         conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
