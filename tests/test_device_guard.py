@@ -18,7 +18,7 @@ def test_noop_on_cpu_backend():
 
 def test_flags_cpu_committed_arrays(monkeypatch):
     x = jax.device_put(jnp.ones(3), jax.devices("cpu")[0])
-    monkeypatch.setattr(device_guard.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(device_guard, "_default_platform", lambda: "tpu")
     with pytest.raises(device_guard.DevicePlacementError) as err:
         device_guard.assert_on_accelerator({"ERI": x}, stage="integral generation")
     assert "ERI" in str(err.value)
@@ -26,7 +26,7 @@ def test_flags_cpu_committed_arrays(monkeypatch):
 
 
 def test_skips_none_and_host_data(monkeypatch):
-    monkeypatch.setattr(device_guard.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(device_guard, "_default_platform", lambda: "tpu")
     # None entries (DIRECT defers the ERI) and plain numpy arrays (host-side
     # metadata) must not trip the guard.
     assert device_guard._offending_devices(np.ones(3)) is None

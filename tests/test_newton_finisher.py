@@ -74,7 +74,8 @@ def test_newton_matches_f64_solver(n2_sto3g, method):
 
     (nn, convn, failn, En, t1_n, t2_n, hist, _) = finisher(
         g, F, d1, d2, jnp.asarray(t1_w, dtype=jnp.float64),
-        jnp.asarray(t2_w, dtype=jnp.float64), 1e-10, 1e-8)
+        jnp.asarray(t2_w, dtype=jnp.float64), dummy, dummy, dummy, d3,
+        1e-10, 1e-8)
     assert bool(convn) and not bool(failn)
     assert int(nn) <= 4, f"Newton took {int(nn)} steps (expected <= 4)"
 
@@ -109,7 +110,8 @@ def test_newton_with_ozaki_residual(n2_sto3g):
 
     (nn, convn, failn, En, _, t2_n, _, _) = finisher_oz(
         g, F, d1, d2, jnp.asarray(t1_w, dtype=jnp.float64),
-        jnp.asarray(t2_w, dtype=jnp.float64), 1e-10, 1e-8)
+        jnp.asarray(t2_w, dtype=jnp.float64), dummy, dummy, dummy, d3,
+        1e-10, 1e-8)
     assert bool(convn) and not bool(failn)
     assert abs(float(En) - float(E64)) < 1e-10
     assert float(jnp.max(jnp.abs(t2_n - t2_64))) < 1e-8
@@ -131,7 +133,7 @@ def test_newton_from_unconverged_start(n2_sto3g):
     assert bool(conv64)
 
     (nn, convn, failn, En, _, _, _, _) = finisher(
-        g, F, d1, d2, t1_0, t2_0, 1e-10, 1e-8)
+        g, F, d1, d2, t1_0, t2_0, dummy, dummy, dummy, d3, 1e-10, 1e-8)
     assert bool(convn) and not bool(failn)
     assert abs(float(En) - float(E64)) < 1e-10
 
@@ -139,6 +141,10 @@ def test_newton_from_unconverged_start(n2_sto3g):
 @pytest.mark.parametrize("line", [
     "SPE : N N 1.1 : CCSD STO-3G : TIGHTSCF",
     "SPE : LI H 1.6 : UCCSD STO-3G : CH 1 ML 2 NOROTATE TIGHTSCF",
+    # CC2/CC3 rebuild T1-dressed MO integrals inside the residual; round 4
+    # extended the fused warm+Newton production path to them.
+    "SPE : N N 1.1 : CC2 STO-3G : TIGHTSCF",
+    "SPE : LI H 1.6 : CC3 STO-3G : TIGHTSCF",
 ])
 def test_production_driver_path(monkeypatch, line):
     """End-to-end driver coverage of the accelerator production path (fused

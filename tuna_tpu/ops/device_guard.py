@@ -30,13 +30,20 @@ def _offending_devices(x):
     return bad or None
 
 
+def _default_platform() -> str:
+    # The DEFAULT DEVICE's platform, not jax.default_backend(): tests fake
+    # the backend name to force accelerator code paths on CPU-only hosts,
+    # but a leak only exists when a real non-CPU device is the default.
+    return jax.devices()[0].platform
+
+
 def assert_on_accelerator(arrays: dict, stage: str = "pipeline"):
     """Raise if any array in `arrays` (name -> array, None entries skipped)
-    is resident on a CPU device while the default backend is an accelerator.
+    is resident on a CPU device while the default device is an accelerator.
 
     No-op on CPU-only hosts (tests, CI) -- there is nothing to leak to.
     """
-    if jax.default_backend() == "cpu":
+    if _default_platform() == "cpu":
         return
     leaks = []
     for name, x in arrays.items():

@@ -139,9 +139,11 @@ def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
     static_damping = calculation.damping_factor or 0.0
     zeros = jnp.zeros_like(batch["S"])
 
+    coords_dummy = jnp.zeros((molecule.n_atoms, 3))
+
     def solve_one(T, V, ERI, S, X, Pa, Pb):
         n_steps, converged, E, P_a, P_b, _, _ = kernel(
-            T, V, ERI, S, X, zeros[0], zeros[0], Pa, Pb, 0.0,
+            T, V, ERI, S, X, zeros[0], zeros[0], coords_dummy, Pa, Pb, 0.0,
             calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
             conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
             static_damping, calculation.max_damping)

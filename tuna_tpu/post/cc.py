@@ -835,9 +835,12 @@ def _build_newton_fn(settings: CCSettings):
     no, nv = settings.n_occ, settings.n_virt
     with_singles = settings.update_singles
 
-    def finisher(g, F, d1, d2, t1_0, t2_0, energy_conv, amp_conv):
+    def finisher(g, F, d1, d2, t1_0, t2_0, ERI_AO, C, H_core, d3,
+                 energy_conv, amp_conv):
         """t*_0: amplitudes at (or near) the f32 fixed point, f64 dtype.
-        Returns (n_newton_steps, converged, failed, E, t1, t2, E_history,
+        ERI_AO/C/H_core/d3 are dummies except for CC2/CC3, which rebuild
+        T1-dressed MO integrals inside the residual.  Returns
+        (n_newton_steps, converged, failed, E, t1, t2, E_history,
         energy parts)."""
         f64 = t2_0.dtype
         f32 = jnp.float32
@@ -852,10 +855,19 @@ def _build_newton_fn(settings: CCSettings):
         F32 = jnp.asarray(F, dtype=f32)
         d132, d232 = jnp.asarray(d1, dtype=f32), jnp.asarray(d2, dtype=f32)
 
-        def phi(Bx, Fx, d1x, d2x, t1, t2):
+        aux_slices = {"o": slice(settings.o_start, settings.o_start + no),
+                      "v": slice(settings.o_start + no, None)}
+        aux64 = {"ERI_AO": ERI_AO, "C": C, "H_core": H_core, "d3": d3,
+                 **aux_slices}
+        aux32 = {"ERI_AO": jnp.asarray(ERI_AO, dtype=f32),
+                 "C": jnp.asarray(C, dtype=f32),
+                 "H_core": jnp.asarray(H_core, dtype=f32),
+                 "d3": jnp.asarray(d3, dtype=f32), **aux_slices}
+
+        def phi(Bx, Fx, d1x, d2x, t1, t2, auxx):
             if restricted:
-                return update(Bx, Fx[o, v], d1x, d2x, t1, t2, None)
-            return update(Bx, Fx, o, v, d1x, d2x, t1, t2, None)
+                return update(Bx, Fx[o, v], d1x, d2x, t1, t2, auxx)
+            return update(Bx, Fx, o, v, d1x, d2x, t1, t2, auxx)
 
         energy_fn = partial(_restricted_energy if restricted else _unrestricted_energy,
                             B64, F[o, v] if restricted else F[o, v],
@@ -884,11 +896,11 @@ def _build_newton_fn(settings: CCSettings):
             if settings.use_ozaki:
                 token = _EINSUM_IMPL.set(ozaki.einsum)
                 try:
-                    p1, p2 = phi(B64, F, d1, d2, t1, t2)
+                    p1, p2 = phi(B64, F, d1, d2, t1, t2, aux64)
                 finally:
                     _EINSUM_IMPL.reset(token)
             else:
-                p1, p2 = phi(B64, F, d1, d2, t1, t2)
+                p1, p2 = phi(B64, F, d1, d2, t1, t2, aux64)
             r1 = p1 - t1
             r2 = p2 - t2
             En = energy_fn(t1=t1, t2=t2)[0]
@@ -912,7 +924,7 @@ def _build_newton_fn(settings: CCSettings):
             def matvec(u):
                 s1, s2 = unpack(u)
                 _, (j1, j2) = jax.jvp(
-                    lambda a, b: phi(B32, F32, d132, d232, a, b),
+                    lambda a, b: phi(B32, F32, d132, d232, a, b, aux32),
                     (t1_32, t2_32), (s1, s2))
                 return u - pack(j1, j2)
 
@@ -973,7 +985,8 @@ def _build_production_fn(settings: CCSettings):
         t1w = jnp.where(warm_ok, warm[4].astype(f64), t1_0)
         t2w = jnp.where(warm_ok, warm[5].astype(f64), t2_0)
         n_warm = jnp.where(warm_ok, n_warm, 0)
-        out = finish_fn(g, F, d1, d2, t1w, t2w, energy_conv, amp_conv)
+        out = finish_fn(g, F, d1, d2, t1w, t2w, ERI_AO, C, H_core, d3,
+                        energy_conv, amp_conv)
         return (n_warm, warm_ok, warm[6]) + out
 
     return production
@@ -1090,7 +1103,7 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
     # remains the CPU path and the fallback if either phase fails.
     n_warm = 0
     newton_done = False
-    if jax.default_backend() != "cpu" and base_name not in ("CC2", "CC3"):
+    if jax.default_backend() != "cpu":
         production = get_production_solver(settings)
         (n_warm_j, warm_ok, _, n_newton, nconv, nfailed, E_CC, t1, t2,
          hist, parts) = production(
