@@ -7,6 +7,7 @@ bench.py and the driver's compile checks.
 """
 
 import os
+import sys
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
@@ -14,3 +15,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Quarantine: tests/test_ozaki.py segfaults XLA:CPU's
+# backend_compile_and_load when compiled LATE in a long suite process
+# (deterministic after ~83 tests; the same file passes in isolation with
+# identical flags, and either half of the suite prefix + ozaki also passes
+# -- the trigger is accumulated XLA:CPU compiler state, not our programs).
+# The ozaki tests therefore run in their own subprocess
+# (test_zz_ozaki_isolated.py); a direct `pytest tests/test_ozaki.py`
+# invocation still works.  Tracked in README "Known issues".
+_ozaki_explicit = any("test_ozaki" in a for a in sys.argv)
+if os.environ.get("TUNA_TPU_OZAKI_ISOLATED") != "1" and not _ozaki_explicit:
+    collect_ignore = ["test_ozaki.py"]

@@ -34,6 +34,33 @@ def _energy_at_gradient(calculation, atomic_symbols, coordinates, integrals, gra
     return E
 
 
+def _prefetch_field_energies(calculation, atomic_symbols, coordinates,
+                             fields=None, gradients=None):
+    """Finite-field stencil fast path: solve EVERY field displacement of a
+    stencil in one sharded batched SCF (tuna_tpu.parallel) when more than
+    one device is visible and the method is plain mean-field.  Returns the
+    energies in the order of `fields`/`gradients`, or None when the stencil
+    must walk serially (correlated/DFT methods, single device, or an
+    unconverged batch) -- the reference always walks serially
+    (tuna_energy.py:315-759)."""
+    import jax as _jax
+    from .. import parallel
+    if (_jax.device_count() <= 1
+            or not parallel.mean_field_batchable(calculation, fields_free=False)):
+        return None
+    # the axis not being displaced keeps its user-applied base value
+    n = len(fields) if fields is not None else len(gradients)
+    if fields is None:
+        fields = [calculation.electric_field] * n
+    if gradients is None:
+        gradients = [calculation.electric_field_gradient] * n
+    energies, converged = parallel.field_energies_parallel(
+        calculation, atomic_symbols, coordinates, fields, gradients)
+    if not converged.all():
+        return None
+    return [float(E) for E in energies]
+
+
 def calculate_polarisability(molecule, calculation, energy, silent, atomic_symbols,
                              coordinates, integrals):
     timer("Polarisability", 0)
@@ -48,20 +75,30 @@ def calculate_polarisability(molecule, calculation, energy, silent, atomic_symbo
     log_spacer(calculation, 1, silent=silent)
     log(f"  Using a finite field magnitude of {h:.5f} au.", calculation, 1, silent=silent)
 
-    def second_field_derivative(field):
-        E_ff = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original + field * 2)
-        E_f = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original + field)
-        E_b = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original - field)
-        E_bb = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original - field * 2)
+    stencil_fields = [original + field_z * 2, original + field_z,
+                      original - field_z, original - field_z * 2,
+                      original + field_x * 2, original + field_x,
+                      original - field_x, original - field_x * 2]
+    batch = _prefetch_field_energies(calculation, atomic_symbols, coordinates,
+                                     fields=stencil_fields)
+
+    def second_field_derivative(field, batch_offset):
+        if batch is not None:
+            E_ff, E_f, E_b, E_bb = batch[batch_offset:batch_offset + 4]
+        else:
+            E_ff = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original + field * 2)
+            E_f = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original + field)
+            E_b = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original - field)
+            E_bb = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original - field * 2)
         return -second_derivative(E_bb, E_b, energy, E_f, E_ff, h), E_b, E_f
 
     log("\n  Calculating parallel derivative...         ", calculation, 1, silent=silent, end="")
-    alpha_parallel, E_b_par, E_f_par = second_field_derivative(field_z)
+    alpha_parallel, E_b_par, E_f_par = second_field_derivative(field_z, 0)
     electronic_dipole = -first_derivative(E_b_par, E_f_par, h)
     log("[Done]", calculation, 1, silent=silent)
 
     log("  Calculating perpendicular derivative...    ", calculation, 1, silent=silent, end="")
-    alpha_perpendicular, _, _ = second_field_derivative(field_x)
+    alpha_perpendicular, _, _ = second_field_derivative(field_x, 4)
     log("[Done]", calculation, 1, silent=silent)
 
     calculation.electric_field = original
@@ -99,7 +136,18 @@ def calculate_hyperpolarisability(molecule, calculation, silent, atomic_symbols,
 
     log("\n  Calculating parallel derivative...         ", calculation, 1, silent=silent, end="")
 
+    multiples = [1, 2, 3, 4, -1, -2, -3, -4]
+    stencil_fields = ([original + field_z * m for m in multiples]
+                      + [original + field_x + field_z,
+                         original - field_x + field_z,
+                         original + field_x - field_z,
+                         original - field_x - field_z])
+    batch = _prefetch_field_energies(calculation, atomic_symbols, coordinates,
+                                     fields=stencil_fields)
+
     def E_at(multiple):
+        if batch is not None:
+            return batch[multiples.index(multiple)]
         return _energy_at_field(calculation, atomic_symbols, coordinates,
                                 integrals, original + field_z * multiple)
 
@@ -109,10 +157,13 @@ def calculate_hyperpolarisability(molecule, calculation, silent, atomic_symbols,
     log("[Done]", calculation, 1, silent=silent)
 
     log("  Calculating perpendicular derivative...    ", calculation, 1, silent=silent, end="")
-    E_fp = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original + field_x + field_z)
-    E_bp = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original - field_x + field_z)
-    E_fm = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original + field_x - field_z)
-    E_bm = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original - field_x - field_z)
+    if batch is not None:
+        E_fp, E_bp, E_fm, E_bm = batch[8:12]
+    else:
+        E_fp = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original + field_x + field_z)
+        E_bp = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original - field_x + field_z)
+        E_fm = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original + field_x - field_z)
+        E_bm = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original - field_x - field_z)
     beta_perpendicular = -(E_bp - 2 * E_p1 + E_fp - E_bm + 2 * E_m1 - E_fm) / (2 * h**3)
     log("[Done]", calculation, 1, silent=silent)
 
@@ -144,8 +195,14 @@ def calculate_numerical_dipole_moment(molecule, calculation, silent, atomic_symb
     log(f"  Using a finite field magnitude of {h:.5f} au.", calculation, 1, silent=silent)
     log("\n  Calculating parallel derivative...         ", calculation, 1, silent=silent, end="")
 
-    E_f = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original + field_z)
-    E_b = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original - field_z)
+    batch = _prefetch_field_energies(calculation, atomic_symbols, coordinates,
+                                     fields=[original + field_z,
+                                             original - field_z])
+    if batch is not None:
+        E_f, E_b = batch
+    else:
+        E_f = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original + field_z)
+        E_b = _energy_at_field(calculation, atomic_symbols, coordinates, integrals, original - field_z)
     electronic_dipole = -first_derivative(E_b, E_f, h)
     log("[Done]", calculation, 1, silent=silent)
 
@@ -176,15 +233,26 @@ def calculate_numerical_quadrupole_moment(molecule, calculation, silent,
     log_spacer(calculation, 1, silent=silent)
     log(f"  Using a finite gradient magnitude of {h:.5f} au.", calculation, 1, silent=silent)
 
+    batch = _prefetch_field_energies(
+        calculation, atomic_symbols, coordinates,
+        gradients=[original + grad_z, original - grad_z,
+                   original + grad_x, original - grad_x])
+
     log("\n  Calculating parallel derivative...         ", calculation, 1, silent=silent, end="")
-    E_f = _energy_at_gradient(calculation, atomic_symbols, coordinates, integrals, original + grad_z)
-    E_b = _energy_at_gradient(calculation, atomic_symbols, coordinates, integrals, original - grad_z)
+    if batch is not None:
+        E_f, E_b = batch[0], batch[1]
+    else:
+        E_f = _energy_at_gradient(calculation, atomic_symbols, coordinates, integrals, original + grad_z)
+        E_b = _energy_at_gradient(calculation, atomic_symbols, coordinates, integrals, original - grad_z)
     electronic_z = -first_derivative(E_b, E_f, h)
     log("[Done]", calculation, 1, silent=silent)
 
     log("  Calculating perpendicular derivative...    ", calculation, 1, silent=silent, end="")
-    E_f = _energy_at_gradient(calculation, atomic_symbols, coordinates, integrals, original + grad_x)
-    E_b = _energy_at_gradient(calculation, atomic_symbols, coordinates, integrals, original - grad_x)
+    if batch is not None:
+        E_f, E_b = batch[2], batch[3]
+    else:
+        E_f = _energy_at_gradient(calculation, atomic_symbols, coordinates, integrals, original + grad_x)
+        E_b = _energy_at_gradient(calculation, atomic_symbols, coordinates, integrals, original - grad_x)
     electronic_x = -first_derivative(E_b, E_f, h)
     log("[Done]", calculation, 1, silent=silent)
 

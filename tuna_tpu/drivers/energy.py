@@ -141,10 +141,28 @@ def calculate_energy(calculation, atomic_symbols, coordinates, P_guess=None,
 
     fock_closure = None
     if getattr(calculation, "direct_scf", False):
-        if calculation.method.name not in ("HF", "UHF") or calculation.DFT_calculation:
-            error('The "DIRECT" (integral-direct SCF) keyword supports '
-                  "mean-field HF/UHF only: correlated and DFT methods need "
-                  "the stored two-electron tensor downstream.")
+        # Methods served integral-direct: mean-field SCF contracts J/K
+        # during the sweep, and RESTRICTED correlated methods get their MO
+        # integrals transform-direct from the packed pair matrix
+        # (post/transforms.transform_direct_mo_chemists) -- the N^4 AO
+        # tensor is never stored either way.  Excluded: methods that consume
+        # the AO tensor itself every iteration (CC2/CC3/CCSDT[Q]-family
+        # T1-dressing, Laplace-AO and orbital-optimised MP2) and the
+        # spin-orbital (UHF-reference) transform.
+        _DIRECT_OK = {
+            "HF", "UHF", "RHF", "MP2", "SCS-MP2", "MP3", "SCS-MP3", "MP4",
+            "CID", "CISD", "CCD", "CEPA", "CEPA0", "CEPA[0]", "CEPA(0)",
+            "LCCD", "LCCSD", "QCISD", "QCISD[T]", "QCISD(T)",
+            "CCSD", "CCSD[T]", "CCSD(T)",
+        }
+        name = calculation.method.name
+        if (calculation.DFT_calculation or name not in _DIRECT_OK
+                or (calculation.reference != "RHF" and name not in ("HF", "UHF"))):
+            error('The "DIRECT" (integral-direct) keyword supports mean-field '
+                  "HF/UHF and restricted correlated methods (MPn/CI/CC "
+                  "families); DFT, spin-orbital (UHF-reference) correlation "
+                  "and AO-tensor-iterating methods (CC2/CC3/CCSDT+/OMP2/"
+                  "LMP2) need the stored two-electron tensor.")
         if calculation.stability_analysis or calculation.time_dependent:
             error("Stability analysis and excited states need the stored "
                   'two-electron tensor; remove the "DIRECT" keyword.')

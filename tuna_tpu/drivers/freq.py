@@ -172,12 +172,22 @@ def vibrational_perturbation_theory(frequency_hartree, energy, calculation,
                          "must be computed on the five-point path")
 
     extra = {}
-    for label, mult in (("1 of 4", -4), ("2 of 4", -3), ("3 of 4", 3), ("4 of 4", 4)):
-        log(f"  Calculating displaced energy {label}...     ", calculation, end="")
-        _, _, E, _ = energ.evaluate_molecular_energy(
-            calculation, atomic_symbols, coordinates + mult * prod, silent=True)
-        extra[mult] = E
+    multiples = (-4, -3, 3, 4)
+    batched = opt._batched_displaced_energies(
+        coordinates, calculation, atomic_symbols, [m * h for m in multiples],
+        silent=True)
+    if batched is not None:
+        log("  Calculating 4 displaced energies in one sharded batch...     ",
+            calculation, end="")
+        extra = dict(zip(multiples, batched[0]))
         log("[Done]", calculation)
+    else:
+        for label, mult in (("1 of 4", -4), ("2 of 4", -3), ("3 of 4", 3), ("4 of 4", 4)):
+            log(f"  Calculating displaced energy {label}...     ", calculation, end="")
+            _, _, E, _ = energ.evaluate_molecular_energy(
+                calculation, atomic_symbols, coordinates + mult * prod, silent=True)
+            extra[mult] = E
+            log("[Done]", calculation)
 
     d3E = third_derivative(extra[-4], extra[-3], E_fb, E_b, E_f, E_ff, extra[3], extra[4], h)
     d4E = fourth_derivative(extra[-4], extra[-3], E_fb, E_b, energy, E_f, E_ff,

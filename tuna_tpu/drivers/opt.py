@@ -46,6 +46,39 @@ def calculate_gradient(coordinates, calculation, atomic_symbols, silent=False,
     return first_derivative(E_backward, E_forward, constants.FIRST_GEOM_DERIVATIVE_STEP)
 
 
+def _batched_displaced_energies(coordinates, calculation, atomic_symbols,
+                                displacements, silent=False):
+    """Geometry-stencil fast path: solve every bond-length displacement of a
+    finite-difference stencil in one sharded batched SCF when more than one
+    device is visible and the method is plain mean-field.  Returns
+    (energies, densities, integrals_containers) in displacement order, or
+    None when the stencil must walk serially."""
+    import jax as _jax
+    from .. import parallel
+
+    coords = np.asarray(coordinates, dtype=float)
+    clean_diatomic = (coords.shape == (2, 3) and np.allclose(coords[0], 0.0)
+                      and np.allclose(coords[1][:2], 0.0) and coords[1][2] > 0)
+    has_ghost = any(str(s).upper().startswith("X") for s in atomic_symbols)
+    if (_jax.device_count() <= 1 or not clean_diatomic or has_ghost
+            or not parallel.mean_field_batchable(calculation)):
+        return None
+
+    bonds = [coords[1][2] + d for d in displacements]
+    if min(bonds) <= 0.01:
+        return None
+    log(f" Distributing {len(bonds)} displaced geometries over "
+        f"{_jax.device_count()} devices...", calculation, 1, silent=silent)
+    energies, converged, P, meta = parallel.stencil_points_parallel(
+        calculation, atomic_symbols, bonds)
+    if not converged.all():
+        log(" Sharded stencil did not fully converge; falling back to the "
+            "serial walk.", calculation, 1, silent=silent)
+        return None
+    return ([float(E) for E in energies], list(P),
+            [m["integrals"] for m in meta])
+
+
 def calculate_hessian(coordinates, calculation, atomic_symbols, energy, silent=False,
                       allow_analytic=True):
     """d2E/dR2, returning displaced wavefunctions for dipole derivatives.
@@ -81,6 +114,23 @@ def calculate_hessian(coordinates, calculation, atomic_symbols, energy, silent=F
         hessian = (g_f - g_b) / (2 * h)
         return (hessian, SCF_forward, P_forward, SCF_backward, P_backward,
                 (None, E_b, E_f, None))
+
+    # Multi-device fast path: the four displaced geometries of the five-point
+    # stencil are embarrassingly parallel, so on a mesh they run as ONE
+    # sharded batched SCF solve (tuna_tpu.parallel.stencil_points_parallel);
+    # the reference walks them serially (tuna_opt.py:87-147).
+    batched = _batched_displaced_energies(
+        coordinates, calculation, atomic_symbols,
+        [-2 * h, -h, h, 2 * h], silent=silent)
+    if batched is not None:
+        (E_bb, E_b, E_f, E_ff), P_batch, integrals_batch = batched
+        from types import SimpleNamespace
+        SCF_backward = SimpleNamespace(integrals=integrals_batch[1])
+        SCF_forward = SimpleNamespace(integrals=integrals_batch[2])
+        P_backward, P_forward = P_batch[1], P_batch[2]
+        hessian = second_derivative(E_bb, E_b, energy, E_f, E_ff, h)
+        return (hessian, SCF_forward, P_forward, SCF_backward, P_backward,
+                (E_bb, E_b, E_f, E_ff))
 
     labels = ["1 of 4", "2 of 4", "3 of 4", "4 of 4"]
 

@@ -251,20 +251,26 @@ class IntegralPlan:
             # "TPU" cc-pVTZ solve was actually executing on CPU).  Transfer
             # the tensor to the default accelerator before returning.
             cpu_eri = jax.jit(self._eri_impl, backend="cpu")
+            cpu_eri_pair = jax.jit(self._eri_pair_impl, backend="cpu")
             cpu_fock = jax.jit(self._fock_direct_impl, backend="cpu")
             accel = jax.devices()[0]
 
             def _eri_transfer(coords):
                 return jax.device_put(cpu_eri(coords), accel)
 
+            def _eri_pair_transfer(coords):
+                return jax.device_put(cpu_eri_pair(coords), accel)
+
             def _fock_transfer(coords, P):
                 J, K = cpu_fock(coords, P)
                 return jax.device_put(J, accel), jax.device_put(K, accel)
 
             self._eri = _eri_transfer
+            self._eri_pair = _eri_pair_transfer
             self._fock_direct = _fock_transfer
         else:
             self._eri = jax.jit(self._eri_impl)
+            self._eri_pair = jax.jit(self._eri_pair_impl)
             self._fock_direct = jax.jit(self._fock_direct_impl)
 
     # ------------------------------------------------------------------
@@ -532,7 +538,12 @@ class IntegralPlan:
 
         return rows, chunk_values, p.dtype
 
-    def _eri_impl(self, coords):
+    def _eri_pair_impl(self, coords):
+        """Packed (n_pairs, n_pairs) pair matrix of permutation-unique ERI
+        values: element (pair_ij, pair_kl) = (ij|kl).  This is the compact
+        form the transform-direct MO path consumes (ops/motransform.py) --
+        one quarter the dense tensor's memory, and the N^4 expansion is
+        skipped entirely."""
         rows, chunk_values, dtype = self._sweep_rows(coords)
 
         def chunk_body(carry, row):
@@ -541,7 +552,13 @@ class IntegralPlan:
 
         out0 = jnp.zeros((self.n_pairs, self.n_pairs), dtype=dtype)
         out, _ = jax.lax.scan(chunk_body, out0, rows)
+        return out
 
+    def eri_pair_packed(self, coords):
+        return self._eri_pair(coords)
+
+    def _eri_impl(self, coords):
+        out = self._eri_pair_impl(coords)
         # Expand packed pair matrix to the full N^4 tensor
         pidx = jnp.array(self.pair_index)
         eri = out[pidx[:, :, None, None], pidx[None, None, :, :]]

@@ -94,22 +94,33 @@ def _batched_inputs(calculation, atomic_symbols, bond_lengths):
         meta.append({"coordinates": coords,
                      "centre_of_mass": molecule.centre_of_mass,
                      "charges": molecule.charges,
-                     "D": [np.asarray(Dc) for Dc in integrals.D]})
+                     "D": [np.asarray(Dc) for Dc in integrals.D],
+                     "integrals": integrals})
     stacked = {k: jnp.asarray(np.stack(vs)) for k, vs in mats.items()}
     return molecule, stacked, meta
 
 
-def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
-                         mesh: Mesh | None = None):
-    """Converged SCF energies, convergence flags and analytic dipole moments
-    for a batch of bond lengths, data-parallel over the mesh.
+def mean_field_batchable(calculation, *, fields_free=True):
+    """True when a calculation's SCF solves can ride the sharded batch
+    kernels below: plain mean-field HF/UHF, no DFT grid, stored integrals
+    (DIRECT closes over per-geometry coordinates) and no CBS extrapolation.
+    `fields_free` additionally requires no applied field -- geometry batches
+    share the field-free kernel signature, while the field batch
+    (field_energies_parallel) naturally owns its field axis."""
+    ok = (calculation.method.name in ("HF", "UHF")
+          and not calculation.DFT_calculation
+          and not getattr(calculation, "extrapolate", False)
+          and not getattr(calculation, "direct_scf", False))
+    if fields_free:
+        ok = (ok and not np.any(calculation.electric_field)
+              and not np.any(calculation.electric_field_gradient))
+    return ok
 
-    Restricted to mean-field field-free methods (HF/UHF); each geometry runs
-    the full jitted SCF while_loop, vmapped in lockstep and sharded over the
-    mesh's first axis.  This is the production fast path of the SCAN driver
-    (drivers/energy.scan_coordinate) on multi-device hosts; the reference
-    walks scan points serially (tuna_energy.py:975-1085).
-    """
+
+def _solve_points(calculation, atomic_symbols, bond_lengths,
+                  mesh: Mesh | None = None):
+    """Core sharded batch solve: converged SCF energies, convergence flags,
+    total densities and per-point metadata for a batch of bond lengths."""
     if mesh is None:
         mesh = device_mesh()
 
@@ -163,13 +174,131 @@ def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
     energies = (np.asarray(energies) + np.asarray(batch["V_NN"]))[:n_points]
     P = np.asarray(P)[:n_points]
     converged = np.asarray(converged)[:n_points]
+    return energies, converged, P, meta[:n_points]
 
+
+def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
+                         mesh: Mesh | None = None):
+    """Converged SCF energies, convergence flags and analytic dipole moments
+    for a batch of bond lengths, data-parallel over the mesh.
+
+    Restricted to mean-field field-free methods (HF/UHF); each geometry runs
+    the full jitted SCF while_loop, vmapped in lockstep and sharded over the
+    mesh's first axis.  This is the production fast path of the SCAN driver
+    (drivers/energy.scan_coordinate) on multi-device hosts; the reference
+    walks scan points serially (tuna_energy.py:975-1085).
+    """
+    energies, converged, P, meta = _solve_points(calculation, atomic_symbols,
+                                                 bond_lengths, mesh)
     from . import props
     dipoles = np.array([
         props.calculate_analytical_dipole_moment(
             m["centre_of_mass"], m["charges"], m["coordinates"], P[i], m["D"])[0]
-        for i, m in enumerate(meta[:n_points])])
+        for i, m in enumerate(meta)])
     return energies, converged, dipoles
+
+
+def stencil_points_parallel(calculation, atomic_symbols, bond_lengths,
+                            mesh: Mesh | None = None):
+    """Finite-difference GEOMETRY stencil fast path: one sharded batched SCF
+    solve over the displaced bond lengths of an OPT/FREQ/VPT stencil,
+    returning per-point energies, convergence flags, total densities and the
+    per-point integrals containers (the dipole-derivative stencils downstream
+    need the displaced D matrices).  The reference evaluates every displaced
+    geometry serially (tuna_opt.py:87-147, tuna_freq.py:822-959)."""
+    return _solve_points(calculation, atomic_symbols, bond_lengths, mesh)
+
+
+def field_energies_parallel(calculation, atomic_symbols, coordinates, fields,
+                            field_gradients=None, mesh: Mesh | None = None):
+    """Finite-FIELD stencil fast path: converged SCF total energies at ONE
+    geometry for a batch of uniform electric fields / field gradients,
+    sharded over the mesh.
+
+    The field enters the jitted SCF kernel only through two one-electron
+    matrices (F = sum_i E_i D_i and the quadrupole contraction G), so the
+    whole polarisability / hyperpolarisability / multipole stencil
+    (drivers/electric.py) is one vmapped solve with every other operand
+    broadcast.  The reference walks the field displacements serially
+    (tuna_energy.py:315-759).  Returns (total_energies, converged) over the
+    batch; `fields` / `field_gradients` are absolute (already include any
+    user-applied base field).
+    """
+    if mesh is None:
+        mesh = device_mesh()
+
+    coords = common.clean_coordinates(np.asarray(coordinates, dtype=float))
+    molecule = Molecule(list(atomic_symbols), coords, calculation)
+    integrals = common.calculate_analytical_integrals(molecule, calculation, True)
+    molecule.process_basis_functions(calculation, int(integrals.n_basis))
+    X, _, _ = common.calculate_orthogonalisation_matrix(integrals.S,
+                                                        calculation, True)
+    V_NN = float(np.prod([float(c) for c in molecule.charges])
+                 / np.linalg.norm(coords[1] - coords[0]))
+
+    n_f = len(fields) if fields is not None else len(field_gradients)
+    if fields is None:
+        fields = [np.zeros(3)] * n_f
+    if field_gradients is None:
+        field_gradients = [np.zeros(3)] * n_f
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_padded = -(-n_f // n_dev) * n_dev
+    fields = list(fields) + [fields[-1]] * (n_padded - n_f)
+    field_gradients = (list(field_gradients)
+                       + [field_gradients[-1]] * (n_padded - n_f))
+
+    Fld = jnp.stack([common.apply_electric_field(integrals.D, f)
+                     for f in fields])
+    G = jnp.stack([common.apply_electric_field_gradient(integrals.Q, g)
+                   for g in field_gradients])
+
+    # shared field-free core guess, broadcast over the batch
+    H = np.asarray(integrals.T) + np.asarray(integrals.V_NE)
+    Xn = np.asarray(X)
+    _, C0 = np.linalg.eigh(Xn.T @ H @ Xn)
+    C0 = Xn @ C0
+    P_a = jnp.asarray(C0[:, :molecule.n_alpha] @ C0[:, :molecule.n_alpha].T)
+    P_b = jnp.asarray(C0[:, :molecule.n_beta] @ C0[:, :molecule.n_beta].T)
+
+    settings = SCFSettings(
+        reference=calculation.reference,
+        n_basis=int(integrals.n_basis),
+        n_alpha=molecule.n_alpha, n_beta=molecule.n_beta,
+        max_iter=calculation.max_iter,
+        use_diis=bool(calculation.DIIS),
+        max_diis=int(calculation.max_DIIS_matrices),
+        use_damping=bool(calculation.damping),
+        dynamic_damping=calculation.damping_factor is None,
+        partition_0=int(molecule.partition_ranges[0]),
+        n_atoms=molecule.n_atoms)
+    kernel = get_scf_kernel(settings)
+
+    conv = calculation.SCF_conv
+    static_damping = calculation.damping_factor or 0.0
+    T = jnp.asarray(integrals.T)
+    V = jnp.asarray(integrals.V_NE)
+    ERI = jnp.asarray(integrals.ERI_AO)
+    S = jnp.asarray(integrals.S)
+    Xd = jnp.asarray(X)
+    coords_dev = jnp.asarray(coords)
+
+    def solve_one(Fld_b, G_b):
+        n_steps, converged, E, P_a_out, P_b_out, _, _ = kernel(
+            T, V, ERI, S, Xd, Fld_b, G_b, coords_dev, P_a, P_b, 0.0,
+            calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
+            conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
+            static_damping, calculation.max_damping)
+        return E, converged
+
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, PartitionSpec(axis))
+    batched = jax.jit(jax.vmap(solve_one),
+                      in_shardings=(shard, shard),
+                      out_shardings=(shard, shard))
+    energies, converged = batched(Fld, G)
+    return (np.asarray(energies)[:n_f] + V_NN,
+            np.asarray(converged)[:n_f])
 
 
 def scan_energies_parallel(calculation, atomic_symbols, bond_lengths,

@@ -112,6 +112,30 @@ def quadruples_epsilons(epsilons, o, v, level_shift=0.0):
 
 # --- calculation preambles --------------------------------------------------
 
+def transform_direct_mo_chemists(molecule, SCF_output, calculation):
+    """Chemists' MO tensor straight from the packed pair sweep -- the
+    integral-direct correlation path (DIRECT keyword): the dense N^4 AO
+    tensor (Cartesian OR spherical) is never materialised.  The reference
+    must store the full Cartesian tensor in host RAM before transforming
+    (tuna_kernel.py:392-406: ~3 GB at cc-pV5Z, ~32 GB at cc-pV6Z)."""
+    from ..drivers import common as _common
+    from ..ops import motransform
+
+    plan = _common.get_integral_plan(molecule)
+    coords = jnp.asarray(molecule.coordinates)
+    C = jnp.asarray(SCF_output.molecular_orbitals)
+    if calculation.cartesian_harmonics:
+        W = C
+    else:
+        W = jnp.asarray(molecule.spherical_transformation).T @ C
+    n_mo = int(C.shape[1])
+
+    G_pair = plan.eri_pair_packed(coords)
+    G_mo = motransform.pair_packed_to_mo(G_pair, jnp.asarray(plan.pair_index),
+                                         W, n_mo)
+    return motransform.expand_mo_chemists(G_mo, n_mo)
+
+
 def begin_spatial_orbital_calculation(molecule, ERI_AO, SCF_output, calculation,
                                       silent=False):
     """Spatial-orbital setup: chemists' MO integrals + occupied/virtual slices."""
@@ -127,8 +151,13 @@ def begin_spatial_orbital_calculation(molecule, ERI_AO, SCF_output, calculation,
     log("\n Preparing transformation to spatial orbital basis...", calculation, 1,
         silent=silent)
     timer("Molecular orbital transformation", 0)
-    ERI_MO = ao_to_mo_chemists(jnp.asarray(ERI_AO),
-                               jnp.asarray(SCF_output.molecular_orbitals))
+    if ERI_AO is None:
+        # Integral-direct SCF deferred the stored tensor; transform straight
+        # from the packed pair sweep.
+        ERI_MO = transform_direct_mo_chemists(molecule, SCF_output, calculation)
+    else:
+        ERI_MO = ao_to_mo_chemists(jnp.asarray(ERI_AO),
+                                   jnp.asarray(SCF_output.molecular_orbitals))
     timer("Molecular orbital transformation", 1)
 
     if calculation.freeze_core and molecule.n_core_orbitals != 0:
