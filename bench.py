@@ -118,15 +118,28 @@ def measure_ours(config=CONFIG, label="headline"):
     production_solver = get_production_solver(settings)
     dummy, d3 = jnp.zeros((1, 1)), jnp.zeros((1,))
 
-    def production(t2s):
-        """The shipped solve, ONE device call: f32 DIIS warm phase + ozaki
-        Newton-Krylov finisher."""
+    # Every scalar device->host fetch through the axon tunnel costs its own
+    # ~22 ms round trip (measured, tools/profile_cc_residual.py: call+1
+    # fetch 23.6 ms, call+2 fetches 44.3 ms), so the solve's counters are
+    # packed into ONE fetched array -- one synchronising round trip, which
+    # is what a real client of the solve would pay.
+    @jax.jit
+    def _production_packed(t2s):
         out = production_solver(g, F, d1, d2, t1_0, t2s, dummy, dummy, dummy,
                                 d3, cfg.energy_convergence, cfg.amp_conv)
-        return int(out[0]), int(out[3]), out
+        meta = jnp.stack([out[0].astype(jnp.float64),
+                          out[3].astype(jnp.float64),
+                          out[4].astype(jnp.float64)])
+        return meta, out
 
-    nw, nn, out = production(t2_0)  # compile + converge once
-    if not bool(out[4]):
+    def production(t2s):
+        """The shipped solve, ONE device call + ONE synchronising fetch."""
+        meta, out = _production_packed(t2s)
+        meta = np.asarray(meta)
+        return int(meta[0]), int(meta[1]), bool(meta[2]), out
+
+    nw, nn, conv, out = production(t2_0)  # compile + converge once
+    if not conv:
         raise RuntimeError("production CCSD solve did not converge")
     E_corr = float(out[6])
     note(f"{label}: production solve converged, {nw} f32 warm iters + "
@@ -137,9 +150,10 @@ def measure_ours(config=CONFIG, label="headline"):
     walls = []
     for i in range(3):
         t2p = t2_0 * (1 + 1e-10 * (i + 1))
-        jax.block_until_ready(t2p)
+        np.asarray(t2p)  # materialise BEFORE timing (block_until_ready is a
+        #                  no-op through the tunnel; fetching synchronises)
         t0 = time.perf_counter()
-        nw, nn, out = production(t2p)
+        nw, nn, conv, out = production(t2p)
         walls.append(time.perf_counter() - t0)
     wall_ours = min(walls)
     note(f"{label}: wall-to-converged (ours): {wall_ours * 1e3:.1f} ms "
@@ -152,7 +166,7 @@ def measure_ours(config=CONFIG, label="headline"):
     walls64 = []
     for i in range(2):
         t2p = t2_0 * (1 + 1e-10 * (i + 1))
-        jax.block_until_ready(t2p)
+        np.asarray(t2p)
         t0 = time.perf_counter()
         out64 = solver(g, F, d1, d2, t1_0, t2p, dummy, dummy, dummy, d3,
                        cfg.energy_convergence, cfg.amp_conv)

@@ -7,7 +7,8 @@ bench.py and the driver's compile checks.
 """
 
 import os
-import sys
+
+import pytest
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
@@ -16,14 +17,24 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Quarantine: tests/test_ozaki.py segfaults XLA:CPU's
-# backend_compile_and_load when compiled LATE in a long suite process
-# (deterministic after ~83 tests; the same file passes in isolation with
-# identical flags, and either half of the suite prefix + ozaki also passes
-# -- the trigger is accumulated XLA:CPU compiler state, not our programs).
-# The ozaki tests therefore run in their own subprocess
-# (test_zz_ozaki_isolated.py); a direct `pytest tests/test_ozaki.py`
-# invocation still works.  Tracked in README "Known issues".
-_ozaki_explicit = any("test_ozaki" in a for a in sys.argv)
-if os.environ.get("TUNA_TPU_OZAKI_ISOLATED") != "1" and not _ozaki_explicit:
-    collect_ignore = ["test_ozaki.py"]
+
+# XLA:CPU's backend_compile_and_load segfaults when a LARGE program is
+# compiled late in a long suite process (reproduced deterministically after
+# ~84 tests at whatever big compile comes next -- first tests/test_ozaki.py,
+# then, with ozaki quarantined, the UCCSD production solver in
+# test_newton_finisher.py; every such program passes in isolation).  The
+# trigger is accumulated in-process compiled-executable state, so the suite
+# bounds it: jax.clear_caches() drops the live jitted executables every few
+# tests, trading recompiles for a compiler that never sees the pathological
+# accumulation.  Module-level kernel caches (scf._KERNEL_CACHE etc.) hold
+# callables, not executables -- they transparently recompile.
+_CLEAR_EVERY = 10
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bound_xla_cpu_compiler_state():
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()

@@ -81,3 +81,32 @@ def test_cc2_close_to_mp2():
     E_cc2 = final_energy("SPE : H H 0.74 : CC2 6-31G")
     E_mp2 = final_energy("SPE : H H 0.74 : MP2 6-31G")
     assert abs(E_cc2 - E_mp2) < 5e-3
+
+
+def test_fused_residual_matches_unfused():
+    """The fused-contraction CCSD residual (blocked matmuls, post/cc.py
+    _r_ccsd) must reproduce the one-einsum-per-term reference map exactly,
+    with and without the singles channel."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tuna_tpu.post import cc
+
+    rng = np.random.RandomState(3)
+    no, nv = 5, 11
+    n = no + nv
+    g = jnp.asarray(rng.randn(n, n, n, n) * 0.1)
+    F = jnp.asarray(rng.randn(n, n) * 0.1)
+    o, v = slice(0, no), slice(no, None)
+    d1 = jnp.asarray(rng.rand(no, nv) + 0.5)
+    d2 = jnp.asarray(rng.rand(no, no, nv, nv) + 0.5)
+    t1 = jnp.asarray(rng.randn(no, nv) * 0.05)
+    t2 = jnp.asarray(rng.randn(no, no, nv, nv) * 0.05)
+
+    B = cc._restricted_blocks(g, o, v)
+    for freeze in (False, True):
+        a1, a2 = cc._r_ccsd_unfused(B, F[o, v], d1, d2, t1, t2, {},
+                                    freeze_singles=freeze)
+        b1, b2 = cc._r_ccsd(B, F[o, v], d1, d2, t1, t2, {},
+                            freeze_singles=freeze)
+        assert float(jnp.max(jnp.abs(a1 - b1))) < 1e-13, freeze
+        assert float(jnp.max(jnp.abs(a2 - b2))) < 1e-13, freeze

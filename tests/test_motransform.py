@@ -108,7 +108,9 @@ def test_sharded_transform_cc_pv6z_shapes():
     mesh (N_cart = 252, n_ao_pairs = 31878, n_mo = 182 spherical): no
     replicated N^4-scale array, entries verified against direct
     contractions of the packed AO matrix.  Run in f32 to keep the CPU-mesh
-    runtime sane -- the sharding arithmetic is dtype-independent."""
+    runtime sane -- the sharding arithmetic is dtype-independent.  NOTE:
+    ~14 min on this box's single CPU core (measured 828 s); the virtual
+    mesh serialises all 8 shards onto one core."""
     if jax.device_count() < 2:
         pytest.skip("needs the multi-device CPU mesh")
     from jax.sharding import Mesh
@@ -130,7 +132,7 @@ def test_sharded_transform_cc_pv6z_shapes():
     mesh = Mesh(np.array(jax.devices()), ("dp",))
     G_mo = np.asarray(motransform.pair_packed_to_mo_sharded(
         jnp.asarray(G_pair), jnp.asarray(pair_index), jnp.asarray(W),
-        n_mo, mesh, row_chunk=64))
+        n_mo, mesh, row_chunk=256))
     assert G_mo.shape == (n_mo_pairs, n_mo_pairs)
 
     # spot-verify entries against the independent bilinear form:

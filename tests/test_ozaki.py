@@ -36,6 +36,17 @@ def test_matches_f64_einsum(spec, shapes):
     _check(spec, shapes)
 
 
+@pytest.mark.parametrize("spec,shapes", [
+    # leading group axis -> one batched dot_general per slice pair
+    ("gik,gkj->gij",   [(4, 13, 17), (4, 17, 11)]),
+    ("gxkc,gkcy->gxy", [(3, 9, 7, 19), (3, 7, 19, 8)]),
+    # batch label positioned mid-subscript
+    ("igk,kgj->ijg",   [(13, 4, 17), (17, 4, 11)]),
+])
+def test_batched_matches_f64_einsum(spec, shapes):
+    _check(spec, shapes)
+
+
 def test_wide_dynamic_range():
     """Elements spanning ten orders of magnitude stay accurate in absolute
     terms (the fixed-point scheme is exact relative to the global scale)."""

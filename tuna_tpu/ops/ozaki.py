@@ -32,8 +32,14 @@ import numpy as np
 # products of two b-bit integer slices are < 2^(2b), and summing K of them
 # stays below the f32 integer limit 2^24 when 2b + ceil(log2 K) <= 24.
 # Wider contractions get narrower slices (and correspondingly more of them).
-TARGET_BITS = 42  # relative accuracy ~2^-42 of the result, ~100x below the
-                  # 1e-10 the amplitude equations need
+#
+# TARGET_BITS trades accuracy for slice-pair count (the dominant cost): 42
+# bits ~ 2^-42 relative is ~100x below what the amplitude equations need;
+# 36 bits (~1.5e-11) still clears the 1e-10 residual-accuracy requirement
+# with margin and drops ~20-40% of the matmuls at large contraction
+# lengths (45 -> 36 pairs at K = 53^2).  Override per-process with
+# TUNA_TPU_OZAKI_BITS.
+TARGET_BITS = int(__import__("os").environ.get("TUNA_TPU_OZAKI_BITS", 42))
 MIN_SLICE_BITS = 4
 MAX_EXACT_K = 1 << (24 - 2 * MIN_SLICE_BITS)
 
@@ -46,15 +52,16 @@ MAX_OZAKI_FLOPS = float(__import__("os").environ.get(
     "TUNA_TPU_OZAKI_MAX_FLOPS", 3e7))
 
 
-def _plan(K):
+def _plan(K, target_bits=None):
     """(slice_bits, n_slices, pair_cutoff) for a contraction of length K."""
+    tb = TARGET_BITS if target_bits is None else target_bits
     logk = max(1, int(np.ceil(np.log2(max(K, 2)))))
     # cap at 8: slice integers up to 2^bits must be exact in bf16's 8-bit
     # significand
     bits = min(8, (24 - logk) // 2)
     if bits < MIN_SLICE_BITS:
         return None
-    cutoff = 1 + int(np.ceil((TARGET_BITS + logk) / bits))
+    cutoff = 1 + int(np.ceil((tb + logk) / bits))
     n_slices = min(cutoff - 1, int(np.ceil(54 / bits)))
     return bits, n_slices, cutoff
 
@@ -87,13 +94,19 @@ def split_fixed_point(X, bits, n_slices):
 
 def _matmul_sliced(sa, A_slices, sb, B_slices, bits, cutoff):
     """Exact-slice matmul: returns the f64 product of the represented
-    operands, shape (M, N)."""
+    operands, shape (M, N) -- or (G, M, N) when the slices carry a leading
+    batch ("group") axis, in which case each bf16 pass is ONE batched
+    dot_general (one MXU dispatch for the whole group instead of G)."""
+    batched = A_slices[0].ndim == 3
+    dims = ((((2,), (1,)), ((0,), (0,))) if batched
+            else ((((1,), (0,)), ((), ()))))
     total = None
     for i, Ai in enumerate(A_slices, start=1):
         for j, Bj in enumerate(B_slices, start=1):
             if i + j > cutoff:
                 continue
-            P = jax.lax.dot(Ai, Bj, preferred_element_type=jnp.float32)
+            P = jax.lax.dot_general(Ai, Bj, dims,
+                                    preferred_element_type=jnp.float32)
             w = 2.0 ** (-bits * (i + j))
             term = P.astype(jnp.float64) * w
             total = term if total is None else total + term
@@ -152,14 +165,14 @@ def _parse(subscripts):
     a_sub, b_sub = lhs.split(",")
     if len(set(a_sub)) != len(a_sub) or len(set(b_sub)) != len(b_sub):
         return None  # diagonal/trace inputs: not supported
-    contracted = [c for c in a_sub if c in b_sub]
-    if any(c in out for c in contracted):
-        return None  # batch labels: not supported
-    a_free = [c for c in a_sub if c not in contracted]
-    b_free = [c for c in b_sub if c not in contracted]
-    if set(out) != set(a_free + b_free):
+    shared = [c for c in a_sub if c in b_sub]
+    batch = [c for c in shared if c in out]          # group axes (bmm)
+    contracted = [c for c in shared if c not in out]
+    a_free = [c for c in a_sub if c not in shared]
+    b_free = [c for c in b_sub if c not in shared]
+    if set(out) != set(batch + a_free + b_free):
         return None
-    return a_sub, b_sub, out, a_free, b_free, contracted
+    return a_sub, b_sub, out, a_free, b_free, contracted, batch
 
 
 def einsum(subscripts, *operands, **kwargs):
@@ -174,7 +187,7 @@ def einsum(subscripts, *operands, **kwargs):
     spec = _parse(subscripts) if "->" in subscripts else None
     if (spec is None or A.dtype != jnp.float64 or B.dtype != jnp.float64):
         return jnp.einsum(subscripts, A, B, optimize=True)
-    a_sub, b_sub, out, a_free, b_free, contracted = spec
+    a_sub, b_sub, out, a_free, b_free, contracted, batch = spec
 
     a_shape = dict(zip(a_sub, A.shape))
     b_shape = dict(zip(b_sub, B.shape))
@@ -184,24 +197,29 @@ def einsum(subscripts, *operands, **kwargs):
         return jnp.einsum(subscripts, A, B, optimize=True)
     bits, n_slices, cutoff = plan
 
+    G = int(np.prod([a_shape[c] for c in batch])) if batch else 1
     M = int(np.prod([a_shape[c] for c in a_free])) if a_free else 1
     N = int(np.prod([b_shape[c] for c in b_free])) if b_free else 1
-    if 2.0 * M * K * N > MAX_OZAKI_FLOPS:
+    if 2.0 * G * M * K * N > MAX_OZAKI_FLOPS:
         return jnp.einsum(subscripts, A, B, optimize=True)
 
     # Split in native shape (cached per operand per trace), then move the
-    # cheap bf16 slices into matmul layout:
-    # A -> (free..., contracted...) -> (M, K); B -> (contracted..., free...)
-    perm_a = [a_sub.index(c) for c in a_free + contracted]
-    perm_b = [b_sub.index(c) for c in contracted + b_free]
+    # cheap bf16 slices into (batched) matmul layout:
+    # A -> (batch..., free..., contracted...) -> ([G,] M, K)
+    # B -> (batch..., contracted..., free...) -> ([G,] K, N)
+    perm_a = [a_sub.index(c) for c in batch + a_free + contracted]
+    perm_b = [b_sub.index(c) for c in batch + contracted + b_free]
+    shape_a = (G, M, K) if batch else (M, K)
+    shape_b = (G, K, N) if batch else (K, N)
     sa, A_native = _split_cached(A, bits, n_slices)
     sb, B_native = _split_cached(B, bits, n_slices)
-    A_slices = [sl.transpose(perm_a).reshape(M, K) for sl in A_native]
-    B_slices = [sl.transpose(perm_b).reshape(K, N) for sl in B_native]
+    A_slices = [sl.transpose(perm_a).reshape(shape_a) for sl in A_native]
+    B_slices = [sl.transpose(perm_b).reshape(shape_b) for sl in B_native]
     C = _matmul_sliced(sa, A_slices, sb, B_slices, bits, cutoff)
 
-    C = C.reshape([a_shape[c] for c in a_free] + [b_shape[c] for c in b_free])
-    order = [(a_free + b_free).index(c) for c in out]
+    C = C.reshape([a_shape[c] for c in batch] + [a_shape[c] for c in a_free]
+                  + [b_shape[c] for c in b_free])
+    order = [(batch + a_free + b_free).index(c) for c in out]
     return C.transpose(order)
 
 

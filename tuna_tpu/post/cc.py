@@ -91,6 +91,10 @@ def _restricted_blocks(g, o, v):
         "Loovv": L[o, o, v, v], "Lovoo": L[o, v, o, o], "Lovvo": L[o, v, v, o],
         "Lovvv": L[o, v, v, v],
     }
+    # Loop-invariant concatenated operands for the fused CCSD/CCD residual
+    # (_r_ccsd); unused entries are dead-code-eliminated by XLA for
+    # the methods that never touch them.
+    B.update(_ccsd_fused_cats(B))
     return B
 
 
@@ -148,11 +152,25 @@ def _r_pair_ladder(Aoooo, Avvvv, t2_hh, t2_pp):
 
 
 def _r_rings(Aovvo, Aovov, t2):
-    """The four spin-adapted ring contractions (direct + two exchanges)."""
-    return (2.0 * _es("icak,kjcb->ijab", Aovvo, t2, optimize=True)
-            - _es("icka,kjcb->ijab", Aovov, t2, optimize=True)
-            - _es("icak,kjbc->ijab", Aovvo, t2, optimize=True)
-            - _es("ickb,kjac->ijab", Aovov, t2, optimize=True))
+    """The four spin-adapted ring contractions (direct + two exchanges).
+
+    All four contract the same (k,c) pair, so they are blocked into ONE
+    (2 ov, ov) @ (ov, 2 ov) matmul whose four output blocks are the four
+    terms (fewer, larger dots: the TPU solve is op-count-bound at small
+    sizes and the blocks all feed the MXU at large ones)."""
+    no, nv = t2.shape[0], t2.shape[2]
+    ia = no * nv
+    A1 = Aovvo.transpose(0, 2, 3, 1).reshape(ia, ia)   # (i,a),(k,c)
+    A2 = Aovov.transpose(0, 3, 2, 1).reshape(ia, ia)   # (i,a)/(i,b),(k,c)
+    Bp = t2.transpose(0, 2, 1, 3).reshape(ia, ia)      # (k,c),(j,b)
+    Bq = t2.transpose(0, 3, 1, 2).reshape(ia, ia)      # (k,c),(j,b)/(j,a)
+    C = _es("xk,ky->xy", jnp.concatenate([A1, A2]),
+            jnp.concatenate([Bp, Bq], axis=1), optimize=True)
+    C = C.reshape(2, no, nv, 2, no, nv)
+    c11, c12 = C[0, :, :, 0], C[0, :, :, 1]            # (i,a,j,b)
+    c21, c22 = C[1, :, :, 0], C[1, :, :, 1]            # (i,a,j,b)/(i,b,j,a)
+    return ((2.0 * c11 - c21 - c12).transpose(0, 2, 1, 3)
+            - c22.transpose(0, 2, 3, 1))
 
 
 def _r_singles_linear(B, t1, t2):
@@ -250,7 +268,10 @@ def _r_qcisd(B, F_ov, d1, d2, t1, t2, aux):
     return d1 * r1, d2 * _sym_pair(r2)
 
 
-def _r_ccsd(B, F_ov, d1, d2, t1, t2, aux, freeze_singles: bool = False):
+def _r_ccsd_unfused(B, F_ov, d1, d2, t1, t2, aux, freeze_singles: bool = False):
+    """Reference (one-einsum-per-term) CCSD residual; kept as the
+    equivalence oracle for the fused production residual
+    (tests/test_cc.py::test_fused_residual_matches_unfused)."""
     tau, dFoo, dFvv, Fov, Woooo, Wovvo, Wovov = _r_dressed_mosaic(B, t1, t2,
                                                                   not freeze_singles)
     dLoo = dFoo + _es("ickl,lc->ik", B["Lovoo"], t1, optimize=True)
@@ -293,6 +314,187 @@ def _r_ccd(B, F_ov, d1, d2, t1, t2, aux):
     """CCD = CCSD with the singles channel frozen at zero."""
     return _r_ccsd(B, F_ov, d1, d2, jnp.zeros_like(t1), t2, aux,
                    freeze_singles=True)
+
+
+# ---------------------------------------------------------------------------
+# Fused restricted CCSD residual
+# ---------------------------------------------------------------------------
+# On TPU the CCSD update is op-count-bound at small sizes (every emulated-f64
+# dot costs ~40 us; every ozaki dot costs ~28 slice-pair matmuls) and
+# dispatch-bound in the f32 warm loop.  Contractions that share a contracted
+# index pattern and a right-hand operand are therefore BLOCKED into one
+# matmul: rows = the concatenated left operands, columns = the (possibly
+# concatenated) right operand; output blocks are sliced back out.  This is a
+# pure restructuring -- bit-identical contractions, fewer and larger dots
+# (41 -> ~23 dot_generals at o=7, v=19).  The loop-invariant concatenations
+# are built once per solver call in _ccsd_fused_cats (outside the while_loop,
+# so XLA hoists them and the ozaki presplits happen once).
+
+def _ccsd_fused_cats(B):
+    """Loop-invariant concatenated left operands for _r_ccsd's fused groups,
+    keyed into the block dict as cat_* so _warm_ozaki_blocks presplits them."""
+    no, nv = B["ooov"].shape[0], B["ooov"].shape[3]
+    o2, v2, ov = no * no, nv * nv, no * nv
+    cat = {}
+    # group CD (K = v^2, right operand tau[(cd),(ij)]):
+    #   Woooo build "klcd,ijcd", particle ladder "abcd,ijcd", Y "kacd,ijcd"
+    cat["cat_cd"] = jnp.concatenate([
+        B["oovv"].reshape(o2, v2),
+        B["vvvv"].reshape(v2, v2),
+        B["ovvv"].reshape(ov, v2)])
+    # group KLC (K = o^2 v, right operand tau[(kld),(a)]):
+    #   dFvv "klcd,klad->ca" and the singles term "ickl,klac->ia"
+    cat["cat_klc"] = jnp.concatenate([
+        B["Loovv"].transpose(2, 0, 1, 3).reshape(nv, o2 * nv),
+        B["Lovoo"].transpose(0, 2, 3, 1).reshape(no, o2 * nv)])
+    # group KCD (K = o v^2, right operand tau[(lcd),(i)]):
+    #   dFoo "klcd,ilcd->ik" and the singles term "kadc,ikcd->ia"
+    cat["cat_kcd"] = jnp.concatenate([
+        B["Loovv"].reshape(no, no * v2),
+        B["Lovvv"].transpose(1, 0, 3, 2).reshape(nv, no * v2)])
+    # group V_T1 (K = v, right operand t1^T):
+    #   Woooo "klic,jc", r2 "icab,jc", Wovvo "kacd,id", Wovov "kadc,id"
+    cat["cat_v_t1"] = jnp.concatenate([
+        B["ooov"].reshape(no * o2, nv),
+        B["ovvv"].transpose(0, 2, 3, 1).reshape(no * v2, nv),
+        B["ovvv"].reshape(ov * nv, nv),
+        B["ovvv"].transpose(0, 1, 3, 2).reshape(ov * nv, nv)])
+    # group O_T1 (K = o, right operand t1):
+    #   r2 "ijak,kb", Wovvo "iclk,la", Wovov "ickl,la"
+    cat["cat_o_t1"] = jnp.concatenate([
+        B["oovo"].reshape(o2 * nv, no),
+        B["ovoo"].transpose(0, 1, 3, 2).reshape(ov * no, no),
+        B["ovoo"].reshape(ov * no, no)])
+    # group OV_T1 (K = ov, right operand t1.ravel()):
+    #   Fov "klcd,ld->kc", dLoo "ickl,lc->ik", dLvv "kadc,kd->ca",
+    #   r1 "icak,kc->ia"
+    cat["cat_ov_t1"] = jnp.concatenate([
+        B["Loovv"].transpose(0, 2, 1, 3).reshape(ov, ov),
+        B["Lovoo"].transpose(0, 2, 3, 1).reshape(o2, ov),
+        B["Lovvv"].transpose(3, 1, 0, 2).reshape(v2, ov),
+        B["Lovvo"].transpose(0, 2, 3, 1).reshape(ov, ov)])
+    # group LD (K = ov, right operands [half | t2] columns):
+    #   Wovvo "lkdc,ilda", Wovvo "lkdc,ilad" (Loovv), Wovov "lkcd,ilda"
+    cat["cat_ld"] = jnp.concatenate([
+        B["oovv"].transpose(1, 3, 0, 2).reshape(ov, ov),
+        B["Loovv"].transpose(1, 3, 0, 2).reshape(ov, ov),
+        B["oovv"].transpose(1, 2, 0, 3).reshape(ov, ov)])
+    return cat
+
+
+def _r_ccsd(B, F_ov, d1, d2, t1, t2, aux, freeze_singles: bool = False):
+    """Fused-contraction CCSD residual; numerically identical to
+    _r_ccsd_unfused (tests/test_cc.py::test_fused_residual_matches_unfused).  For CCD
+    (freeze_singles, t1 = 0) every t1-driven block is exactly zero, so the
+    same full evaluation serves both."""
+    no, nv = t2.shape[0], t2.shape[2]
+    o2, v2, ov = no * no, nv * nv, no * nv
+
+    tau = _tau_of(t1, t2) if not freeze_singles else t2
+    u_t2 = _u_of(t2)
+
+    # --- group CD: Woooo build + particle ladder + Y in ONE matmul -------
+    tau_cd = tau.transpose(2, 3, 0, 1).reshape(v2, o2)
+    CD = _es("xk,ky->xy", B["cat_cd"], tau_cd, optimize=True)
+    Woooo_tau = CD[:o2].reshape(no, no, no, no).transpose(2, 3, 0, 1)
+    ladder_pp = CD[o2:o2 + v2].reshape(nv, nv, no, no).transpose(2, 3, 0, 1)
+    Y = CD[o2 + v2:].reshape(no, nv, no, no)                       # kaij
+
+    # --- group KLC: dFvv + Lovoo singles term -----------------------------
+    tau_klc = tau.transpose(0, 1, 3, 2).reshape(o2 * nv, nv)
+    KLC = _es("xk,ky->xy", B["cat_klc"], tau_klc, optimize=True)
+    dFvv = -KLC[:nv]                                               # (c,a)
+    r1_lovoo = KLC[nv:]                                            # (i,a)
+
+    # --- group KCD: dFoo + Lovvv singles term -----------------------------
+    tau_kcd = tau.transpose(1, 2, 3, 0).reshape(no * v2, no)
+    KCD = _es("xk,ky->xy", B["cat_kcd"], tau_kcd, optimize=True)
+    dFoo = KCD[:no].T                                              # (i,k)
+    r1_lovvv = KCD[no:].T                                          # (i,a)
+
+    # --- group V_T1 --------------------------------------------------------
+    V1 = _es("xk,ky->xy", B["cat_v_t1"], t1.T, optimize=True)
+    n0 = no * o2
+    woooo_t1 = V1[:n0].reshape(no, no, no, no).transpose(2, 3, 0, 1)
+    r2_ovvv = V1[n0:n0 + no * v2].reshape(no, nv, nv, no).transpose(0, 3, 1, 2)
+    wovvo_v = V1[n0 + no * v2:n0 + no * v2 + ov * nv].reshape(
+        no, nv, nv, no).transpose(3, 2, 1, 0)                      # icak
+    wovov_v = V1[n0 + no * v2 + ov * nv:].reshape(
+        no, nv, nv, no).transpose(3, 2, 0, 1)                      # icka
+
+    # --- group O_T1 --------------------------------------------------------
+    O1 = _es("xk,ky->xy", B["cat_o_t1"], t1, optimize=True)
+    r2_oovo = O1[:o2 * nv].reshape(no, no, nv, nv)                 # ijab
+    wovvo_o = O1[o2 * nv:o2 * nv + ov * no].reshape(
+        no, nv, no, nv).transpose(0, 1, 3, 2)                      # icak
+    wovov_o = O1[o2 * nv + ov * no:].reshape(no, nv, no, nv)       # icka
+
+    # --- group OV_T1 (matvec) ----------------------------------------------
+    OV1 = _es("xk,k->x", B["cat_ov_t1"], t1.ravel(), optimize=True)
+    Fov = OV1[:ov].reshape(no, nv)
+    dLoo_t1 = OV1[ov:ov + o2].reshape(no, no)
+    dLvv_t1 = OV1[ov + o2:ov + o2 + v2].reshape(nv, nv)
+    r1_lovvo = OV1[ov + o2 + v2:].reshape(no, nv)
+
+    # --- group LD: the three ring-dressing contractions ---------------------
+    half = 0.5 * t2
+    if not freeze_singles:
+        half = half + _es("id,la->ilda", t1, t1, optimize=True)
+    half_ld = half.transpose(1, 2, 0, 3).reshape(ov, ov)
+    t2_ld = t2.transpose(1, 3, 0, 2).reshape(ov, ov)
+    LD = _es("xk,ky->xy", B["cat_ld"],
+             jnp.concatenate([half_ld, t2_ld], axis=1), optimize=True)
+    w_oovv_half = LD[:ov, :ov].reshape(no, nv, no, nv).transpose(2, 1, 3, 0)
+    w_loovv_t2 = LD[ov:2 * ov, ov:].reshape(no, nv, no, nv).transpose(2, 1, 3, 0)
+    w_oovv_half_x = LD[2 * ov:, :ov].reshape(no, nv, no, nv).transpose(2, 1, 0, 3)
+
+    # --- assemble the dressed intermediates ---------------------------------
+    Woooo = B["oooo"] + Woooo_tau
+    if not freeze_singles:
+        Woooo = Woooo + _sym_pair(woooo_t1)
+    Wovvo = B["ovvo"] - w_oovv_half + 0.5 * w_loovv_t2
+    Wovov = B["ovov"] - w_oovv_half_x
+    if not freeze_singles:
+        Wovvo = Wovvo - wovvo_o + wovvo_v
+        Wovov = Wovov - wovov_o + wovov_v
+
+    dLoo = dFoo + dLoo_t1
+    dLvv = dFvv + dLvv_t1
+
+    # --- ladder --------------------------------------------------------------
+    ladder = 0.5 * (_es("ijkl,klab->ijab", Woooo, tau, optimize=True)
+                    + ladder_pp)
+    if not freeze_singles:
+        # Y-driven T1 dressing of the particle ladder: both terms are the
+        # SAME physical product C[x,y,z,w] = sum_k Y[k,x,y,z] t1[k,w], read
+        # out under two different index assignments -- one matmul, two
+        # output transposes.
+        C = _es("xk,ky->xy", Y.transpose(1, 2, 3, 0).reshape(nv * o2, no),
+                t1, optimize=True).reshape(nv, no, no, nv)
+        y1 = C.transpose(2, 1, 0, 3)   # term "kaji,kb->ijab": C[a,j,i,b]
+        y2 = C.transpose(1, 2, 3, 0)   # term "kbij,ka->ijab": C[b,i,j,a]
+        ladder = ladder - 0.5 * (y1 + y2)
+
+    # --- residuals -------------------------------------------------------------
+    r1 = (_es("ca,ic->ia", dFvv, t1, optimize=True)
+          - _es("ik,ka->ia", dFoo, t1, optimize=True)
+          - r1_lovoo
+          + _es("kc,kica->ia", Fov, u_t2, optimize=True)
+          + _es("kc,ic,ka->ia", Fov, t1, t1, optimize=True)
+          + r1_lovvo
+          + r1_lovvv)
+
+    r2 = (0.5 * B["oovv"] + ladder
+          + _es("ca,ijcb->ijab", dLvv, t2, optimize=True)
+          - _es("ik,kjab->ijab", dLoo, t2, optimize=True)
+          + r2_ovvv
+          - _es("ickb,ka,jc->ijab", B["ovov"], t1, t1, optimize=True)
+          - r2_oovo
+          - _es("icak,jc,kb->ijab", B["ovvo"], t1, t1, optimize=True)
+          + _r_rings(Wovvo, Wovov, t2))
+
+    t1_new = t1 if freeze_singles else d1 * r1
+    return t1_new, d2 * _sym_pair(r2)
 
 
 # ---------------------------------------------------------------------------
@@ -917,24 +1119,33 @@ def _build_newton_fn(settings: CCSettings):
                                              | (r_norm < 0.1 * energy_conv))
             is_failed = ~jnp.all(jnp.isfinite(r2)) | (jnp.abs(En) > 1000.0)
 
-            # Correction equation in f32: (I - Phi') s = r
-            t1_32 = jnp.asarray(t1, dtype=f32)
-            t2_32 = jnp.asarray(t2, dtype=f32)
-
-            def matvec(u):
-                s1, s2 = unpack(u)
-                _, (j1, j2) = jax.jvp(
-                    lambda a, b: phi(B32, F32, d132, d232, a, b, aux32),
-                    (t1_32, t2_32), (s1, s2))
-                return u - pack(j1, j2)
-
-            rhs = pack(jnp.asarray(r1, dtype=f32), jnp.asarray(r2, dtype=f32))
-            s = _gmres_static(matvec, rhs)
-            s1, s2 = unpack(s)
-
             advance = ~is_conv & ~is_failed
-            t1n = jnp.where(advance, t1 + s1.astype(f64), t1) if with_singles else t1
-            t2n = jnp.where(advance, t2 + s2.astype(f64), t2)
+
+            # Correction equation in f32: (I - Phi') s = r.  Guarded by
+            # lax.cond so the FINAL Newton pass -- which only certifies
+            # convergence of the previous step's residual -- skips the ~10
+            # jvp matvecs of a GMRES solve whose correction would be thrown
+            # away (measured: the last step's GMRES was ~1/3 of the whole
+            # finisher's cost).
+            def correct(t1_64, t2_64, rr1, rr2):
+                t1_32 = jnp.asarray(t1_64, dtype=f32)
+                t2_32 = jnp.asarray(t2_64, dtype=f32)
+
+                def matvec(u):
+                    s1, s2 = unpack(u)
+                    _, (j1, j2) = jax.jvp(
+                        lambda a, b: phi(B32, F32, d132, d232, a, b, aux32),
+                        (t1_32, t2_32), (s1, s2))
+                    return u - pack(j1, j2)
+
+                rhs = pack(jnp.asarray(rr1, dtype=f32),
+                           jnp.asarray(rr2, dtype=f32))
+                s1, s2 = unpack(_gmres_static(matvec, rhs))
+                return (t1_64 + s1.astype(f64) if with_singles else t1_64,
+                        t2_64 + s2.astype(f64))
+
+            t1n, t2n = jax.lax.cond(
+                advance, correct, lambda a, b, c, d: (a, b), t1, t2, r1, r2)
 
             hist = jnp.roll(hist, -1, axis=0).at[-1].set(
                 jnp.stack([En, dE, r_norm.astype(f64)]))
