@@ -36,20 +36,24 @@ import numpy as np
 # TARGET_BITS trades accuracy for slice-pair count (the dominant cost): 42
 # bits ~ 2^-42 relative is ~100x below what the amplitude equations need;
 # 36 bits (~1.5e-11) still clears the 1e-10 residual-accuracy requirement
-# with margin and drops ~20-40% of the matmuls at large contraction
-# lengths (45 -> 36 pairs at K = 53^2).  Override per-process with
-# TUNA_TPU_OZAKI_BITS.
-TARGET_BITS = int(__import__("os").environ.get("TUNA_TPU_OZAKI_BITS", 42))
+# with margin and drops ~20% of the matmuls at large contraction lengths
+# (45 -> 36 pairs at K = 53^2; measured 8.20 -> 7.77 ms per cc-pVTZ CCSD
+# residual).  Override per-process with TUNA_TPU_OZAKI_BITS.
+TARGET_BITS = int(__import__("os").environ.get("TUNA_TPU_OZAKI_BITS", 36))
 MIN_SLICE_BITS = 4
 MAX_EXACT_K = 1 << (24 - 2 * MIN_SLICE_BITS)
 
-# The slice scheme beats XLA's emulated-f64 dots only in the op-overhead-
-# bound regime (measured at N2: 22.8 -> ~5 ms per CCSD residual at 6-311G,
-# but 198 -> 1214 ms at cc-pVTZ, where the many slice-pair dots and their
-# bf16 traffic dominate).  Contractions above this FLOP count go through the
-# plain emulated-f64 dot, which runs at ~1.86 Tflop/s.
+# The slice scheme beats XLA's emulated-f64 dots in BOTH regimes on the
+# real chip (round-4 re-measurement, tools/profile_cc_residual.py: per
+# fused CCSD residual 8.7 -> 5.2 ms at N2/6-311G, 18.1 -> 7.8 ms at
+# N2/cc-pVTZ; the round-3 "slower at large sizes" gating was measured while
+# the pipeline was silently running on one CPU core).  Each slice-pair bf16
+# pass runs at ~154 Tflop/s vs ~1.86 Tflop/s emulated, so the ~30-pass
+# scheme keeps a ~5x FLOP-rate edge at ANY size; the bound below only
+# guards against pathological single contractions (HBM pressure of the
+# slice buffers), not a measured crossover.
 MAX_OZAKI_FLOPS = float(__import__("os").environ.get(
-    "TUNA_TPU_OZAKI_MAX_FLOPS", 3e7))
+    "TUNA_TPU_OZAKI_MAX_FLOPS", 2e10))
 
 
 def _plan(K, target_bits=None):

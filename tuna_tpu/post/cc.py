@@ -990,10 +990,18 @@ _GMRES_KRYLOV = 10
 
 
 def ozaki_appropriate(n_occ: int, n_virt: int) -> bool:
-    """The slice scheme wins only in the op-overhead-bound regime (measured:
-    ~5x faster residuals at N2/6-311G, ~4x slower at cc-pVTZ where operand
-    traffic dominates); gate on the doubles-amplitude size."""
-    return jax.default_backend() != "cpu" and (n_occ * n_virt) ** 2 <= 50_000
+    """Route f64 contractions through ops.ozaki on accelerators.
+
+    Round-4 re-measurement on the real chip (tools/profile_cc_residual.py;
+    the round-3 "slower at cc-pVTZ" numbers were taken while the pipeline
+    was silently on one CPU core): the sliced residual beats XLA's emulated
+    f64 in BOTH regimes -- 5.2 vs 8.7 ms at N2/6-311G (op-bound) and 7.8 vs
+    18.1 ms at N2/cc-pVTZ (FLOP-carrying; bf16 MXU passes run at ~80x the
+    emulated-f64 rate).  The remaining guard bounds the bf16 slice-cache
+    memory at very large amplitude sizes; per-contraction fallbacks
+    (MAX_OZAKI_FLOPS, K > 2^16) live in ops.ozaki."""
+    return (jax.default_backend() != "cpu"
+            and (n_occ * n_virt) ** 2 <= 5_000_000)
 
 
 def _gmres_static(matvec, rhs, m=_GMRES_KRYLOV):
