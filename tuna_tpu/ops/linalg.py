@@ -99,6 +99,48 @@ def solve_linear_small(A: jnp.ndarray, b: jnp.ndarray):
     return x, ok
 
 
+def solve_linear_small_refined(A: jnp.ndarray, b: jnp.ndarray,
+                               steps: int = 3):
+    """Dense small-system solve: native-f32 Gauss-Jordan INVERSE plus
+    `steps` rounds of iterative refinement in the input dtype.
+
+    Motivation: inside a TPU while_loop body every emulated-f64 op costs a
+    large fixed overhead, so the statically-unrolled f64 elimination of
+    solve_linear_small (~8 ops x n rows) dominates op-overhead-bound
+    iterations (measured ~3 ms of an 12 ms CCSD f64 DIIS iteration at
+    6-311G).  Here the O(n) elimination ops all run in native f32 (cheap),
+    and only the O(steps) refinement matmuls pay the f64 tax: x holds
+    ~(kappa*eps_f32)^(steps+1) relative error, ~1e-12 for the kappa <~ 1e4
+    systems this serves once operands are pre-scaled.  The residual check
+    `ok` (in the input dtype) still catches ill-conditioned systems, which
+    fall back to the caller's reset path exactly as with the plain solver.
+    """
+    if A.dtype == jnp.float32:
+        return solve_linear_small(A, b)
+    n = A.shape[0]
+    A32 = A.astype(jnp.float32)
+    r = jnp.max(jnp.abs(A32), axis=1)
+    r = jnp.where(r > 0, r, 1.0)
+    M = jnp.concatenate([A32 / r[:, None], jnp.eye(n, dtype=jnp.float32)],
+                        axis=1)
+    for k in range(n):  # static unroll, all native f32
+        pivot = M[k, k]
+        safe = jnp.abs(pivot) > 1e-30
+        row_k = M[k] * jnp.where(safe, 1.0 / jnp.where(safe, pivot, 1.0), 0.0)
+        factors = M[:, k].at[k].set(0.0)
+        M = M - factors[:, None] * row_k[None, :]
+        M = M.at[k].set(row_k)
+    # M[:, n:] inverts the row-equilibrated matrix D^-1 A, so A^-1 = that
+    # inverse times D^-1 applied on the right (columns scaled by 1/r).
+    Ainv = (M[:, n:] * (1.0 / r)[None, :]).astype(A.dtype)
+    x = Ainv @ b
+    for _ in range(steps):
+        x = x + Ainv @ (b - A @ x)
+    residual = jnp.linalg.norm(A @ x - b)
+    ok = jnp.isfinite(residual) & (residual < 1e-8 * (1.0 + jnp.linalg.norm(b)))
+    return x, ok
+
+
 def expm_skew(K: jnp.ndarray):
     """exp(K) for skew-symmetric K (orbital rotations) via eigh of -K^2.
 

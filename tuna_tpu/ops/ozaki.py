@@ -33,13 +33,16 @@ import numpy as np
 # stays below the f32 integer limit 2^24 when 2b + ceil(log2 K) <= 24.
 # Wider contractions get narrower slices (and correspondingly more of them).
 #
-# TARGET_BITS trades accuracy for slice-pair count (the dominant cost): 42
-# bits ~ 2^-42 relative is ~100x below what the amplitude equations need;
-# 36 bits (~1.5e-11) still clears the 1e-10 residual-accuracy requirement
-# with margin and drops ~20% of the matmuls at large contraction lengths
-# (45 -> 36 pairs at K = 53^2; measured 8.20 -> 7.77 ms per cc-pVTZ CCSD
-# residual).  Override per-process with TUNA_TPU_OZAKI_BITS.
-TARGET_BITS = int(__import__("os").environ.get("TUNA_TPU_OZAKI_BITS", 36))
+# TARGET_BITS trades accuracy for slice-pair count: 36 bits drops ~20% of
+# the matmuls at large contraction lengths (45 -> 36 pairs at K = 53^2;
+# measured 8.20 -> 7.77 ms per cc-pVTZ CCSD residual) but raises the
+# residual-norm noise floor to ~1e-9, which blocks the Newton finisher's
+# step-2 certification shortcut (r < 0.1*energy_conv = 1e-10 at TIGHTSCF)
+# and costs a whole extra ~6 ms Newton step -- more than the ~0.4 ms the
+# narrower slices save.  42 bits (~2e-13 relative, floor ~1e-11) keeps the
+# shortcut live and the final-energy parity at ~1e-10.  Override
+# per-process with TUNA_TPU_OZAKI_BITS.
+TARGET_BITS = int(__import__("os").environ.get("TUNA_TPU_OZAKI_BITS", 42))
 MIN_SLICE_BITS = 4
 MAX_EXACT_K = 1 << (24 - 2 * MIN_SLICE_BITS)
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import contextvars
+import os
 
 from ..ops import linalg, ozaki
 from ..output import error, log, log_spacer, timer
@@ -836,15 +837,25 @@ def _diis_coefficients(err_buf, n_valid, M):
     errs = jnp.where(valid[:, None], err_buf, 0.0)
     G = errs @ errs.T
     vv = valid[:, None] & valid[None, :]
-    G = jnp.where(vv, G, 0.0) + jnp.where(
+    # Scale the Gram block to O(1): the bordered system's solution c is
+    # invariant under G -> G/s (only the Lagrange multiplier rescales), and
+    # an O(1) block keeps the f32 elimination inside the refined solver
+    # accurate (late-iteration G entries are squared residuals ~1e-16).
+    s = jnp.maximum(jnp.max(jnp.abs(jnp.where(vv, G, 0.0))), 1e-30)
+    G = jnp.where(vv, G / s, 0.0) + jnp.where(
         jnp.eye(M, dtype=bool) & ~valid[:, None], 1.0, 0.0)
     A = jnp.zeros((M + 1, M + 1), dtype=dtype)
     A = A.at[:M, :M].set(G)
     A = A.at[:M, M].set(jnp.where(valid, -1.0, 0.0))
     A = A.at[M, :M].set(jnp.where(valid, -1.0, 0.0))
     rhs = jnp.zeros(M + 1, dtype=dtype).at[M].set(-1.0)
-    coeffs, ok = linalg.solve_linear_small(A, rhs)
+    coeffs, ok = linalg.solve_linear_small_refined(A, rhs)
     coeffs = jnp.where(valid, coeffs[:M], 0.0)
+    # Exact sum-to-one: coefficient-solve error then only multiplies the
+    # SPREAD of the stored amplitudes (~residual-sized), not their magnitude.
+    csum = jnp.sum(coeffs)
+    coeffs = coeffs / jnp.where(jnp.abs(csum) > 1e-3, csum, 1.0)
+    ok = ok & (jnp.abs(csum) > 1e-3)
     return ok & jnp.all(jnp.isfinite(coeffs)), coeffs
 
 
@@ -988,6 +999,20 @@ def get_cc_solver(settings: CCSettings):
 _NEWTON_MAX_STEPS = 6
 _GMRES_KRYLOV = 10
 
+# How deep the production path's f32 DIIS warm phase iterates before handing
+# to the Newton finisher.  Measured inside the fused executable
+# (tools/sweep_warm.py, N2/6-311G on the real chip): a warm f32 iteration
+# costs ~0.1 ms while a Newton step costs ~6 ms, so the warm phase runs all
+# the way to its iteration cap (thresholds 0 = no early exit): stopping at
+# a threshold r~1e-5..1e-6 left the Newton start just above the one-step
+# certification boundary and cost a third Newton step -- (1e-6,1e-4):
+# 47.3 ms/3 steps, (1e-8,1e-5): 47.2 ms/3, run-to-cap: 40.7 ms/2 steps
+# (1 advancing + 1 certifying).  30 extra f32 iterations cost ~3 ms; a
+# saved Newton step saves ~6.
+_WARM_ENERGY_CONV = float(os.environ.get("TUNA_TPU_WARM_ECONV", 0.0))
+_WARM_AMP_CONV = float(os.environ.get("TUNA_TPU_WARM_AMPCONV", 0.0))
+_WARM_MAX_ITER = int(os.environ.get("TUNA_TPU_WARM_MAXITER", 30))
+
 
 def ozaki_appropriate(n_occ: int, n_virt: int) -> bool:
     """Route f64 contractions through ops.ozaki on accelerators.
@@ -1031,6 +1056,11 @@ def _gmres_static(matvec, rhs, m=_GMRES_KRYLOV):
     from ..ops import linalg as _linalg
     H64 = H.astype(jnp.float64)
     A = H64.T @ H64 + 1e-24 * jnp.eye(m, dtype=jnp.float64)
+    # Full-f64 elimination, NOT the f32-refined solver: the normal equations
+    # square kappa(H), and near the residual noise floor the Krylov basis is
+    # close to rank-deficient, so kappa(A) can exceed the refined solver's
+    # ~1e6 range -- a degraded y here costs a whole extra Newton step
+    # (measured: +6 ms, vs the ~2 ms this 11x11 f64 solve pays).
     y, _ = _linalg.solve_linear_small(A, H64.T @ e1.astype(jnp.float64))
     y = y.astype(dtype)
     s = Q[0] * y[0]
@@ -1119,12 +1149,20 @@ def _build_newton_fn(settings: CCSettings):
             r_norm = jnp.linalg.norm(r2.ravel())
             if with_singles:
                 r_norm = jnp.maximum(r_norm, jnp.linalg.norm(r1.ravel()))
-            # The Phi(t)-t residual bounds the remaining energy error (the
-            # energy is linear in the amplitude increment to leading order),
-            # so a residual far below energy_conv certifies dE without
-            # waiting for the lagging step-to-step energy difference.
+            # The Phi(t)-t residual bounds the remaining energy error: the
+            # amplitude error is delta_t ~ (I-Phi')^-1 r and the energy is
+            # linear in delta_t to leading order, so |<dE/dt, r>| (one f64
+            # jvp of the energy, ~2 extra contractions) estimates the
+            # remaining energy error directly.  Certifying on it (with a
+            # 10x margin for the (I-Phi')^-1 amplification) skips the final
+            # Newton pass a step-to-step |dE| check would need -- dE lags
+            # one full ~6 ms residual evaluation behind the truth.
+            _, e_lin = jax.jvp(lambda a, b: energy_fn(t1=a, t2=b)[0],
+                               (t1, t2), (r1, r2))
+            e_err = jnp.abs(e_lin)
             is_conv = (r_norm < amp_conv) & ((jnp.abs(dE) < energy_conv)
-                                             | (r_norm < 0.1 * energy_conv))
+                                             | (r_norm < 0.1 * energy_conv)
+                                             | (e_err < 0.1 * energy_conv))
             is_failed = ~jnp.all(jnp.isfinite(r2)) | (jnp.abs(En) > 1000.0)
 
             advance = ~is_conv & ~is_failed
@@ -1189,18 +1227,33 @@ def _build_production_fn(settings: CCSettings):
     jittable call: a single device dispatch (the per-call round trip through
     the remote-TPU tunnel costs ~25 ms, comparable to the whole solve) and no
     intermediate host transfers of the warm amplitudes."""
-    solve_fn = _build_cc_solver_fn(settings)
+    # The warm phase converges to the f32 noise floor or stalls -- either
+    # way its amplitudes are accepted below -- so its iteration budget is
+    # capped independently of the production max_iter (a stalled f32 phase
+    # must not spin 50 x 2.5 ms before Newton takes over).
+    from dataclasses import replace as _replace
+    solve_fn = _build_cc_solver_fn(
+        _replace(settings, max_iter=min(settings.max_iter, _WARM_MAX_ITER)))
     finish_fn = _build_newton_fn(settings)
 
     def production(g, F, d1, d2, t1_0, t2_0, ERI_AO, C, H_core, d3,
-                   energy_conv, amp_conv):
+                   energy_conv, amp_conv,
+                   warm_energy_conv=_WARM_ENERGY_CONV,
+                   warm_amp_conv=_WARM_AMP_CONV):
         f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
         f64 = t2_0.dtype
+        # The warm thresholds are runtime scalars (not trace constants), so
+        # one compiled executable serves any warm-depth setting.
         warm = solve_fn(f32(g), f32(F), f32(d1), f32(d2), f32(t1_0),
                         f32(t2_0), f32(ERI_AO), f32(C), f32(H_core), f32(d3),
-                        1e-6, 1e-4)
+                        jnp.float32(warm_energy_conv),
+                        jnp.float32(warm_amp_conv))
         n_warm, warm_conv, warm_failed = warm[0], warm[1], warm[2]
-        warm_ok = warm_conv & ~warm_failed
+        # Accept the warm amplitudes whenever the phase stayed finite, even
+        # if it stalled short of its thresholds: a stalled-but-finite f32
+        # iterate is still a far better Newton start than the MP2 guess
+        # (each Newton step saved is one emulated-f64 residual + GMRES).
+        warm_ok = ~warm_failed & jnp.all(jnp.isfinite(warm[5]))
         t1w = jnp.where(warm_ok, warm[4].astype(f64), t1_0)
         t2w = jnp.where(warm_ok, warm[5].astype(f64), t2_0)
         n_warm = jnp.where(warm_ok, n_warm, 0)
