@@ -1,0 +1,95 @@
+"""Staged triage of the on-device f-shell (lmax>=3) ERI kernel.
+
+The TPU runtime previously crashed its worker on the ERI quartet kernel at
+lmax >= 3 (reference computes every integral in its own engine,
+tuna_integral.pyx:1267-1355; we fall back to the host CPU backend,
+ops/integrals.py:236-274).  Round 3's tensorised coupling-tensor kernel
+shrank the compiled program substantially and may already avoid the fault.
+
+A crash wedges the remote-TPU tunnel for 20-60+ minutes, so each stage
+flushes its verdict to STAGE_LOG *before* the next device call; if the
+process dies mid-stage the log still records exactly how far it got.
+
+Run:   timeout 900 python tools/eri_device_triage.py
+Log:   /tmp/eri_triage_r4.log  (append-mode, survives the process)
+"""
+import os
+import sys
+import time
+
+STAGE_LOG = os.environ.get("ERI_TRIAGE_LOG", "/tmp/eri_triage_r4.log")
+
+os.environ["TUNA_TPU_ERI_DEVICE"] = "1"
+
+
+def stage(msg):
+    with open(STAGE_LOG, "a") as fh:
+        fh.write(f"{time.strftime('%H:%M:%S')} {msg}\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    print(msg, flush=True)
+
+
+def main():
+    stage(f"=== triage start pid={os.getpid()} ===")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
+    import numpy as np
+
+    stage(f"backend={jax.default_backend()} devices={jax.devices()}")
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("ERI_TRIAGE_ALLOW_CPU") != "1"):
+        stage("ABORT: need an accelerator backend for this triage")
+        return 1
+
+    from tuna_tpu import constants as const
+    from tuna_tpu.config import Config
+    from tuna_tpu.methods import lookup_method
+    from tuna_tpu.ops.integrals import IntegralPlan
+    from tuna_tpu.system import Molecule
+
+    # N2 / cc-pVTZ: f functions on N -> lmax = 3, the faulting class.
+    cfg = Config("SPE", lookup_method("HF"), 0.0, [], "CC-PVTZ",
+                 ["N", "N"], suppress_output=True)
+    coords = np.array([[0.0, 0.0, 0.0],
+                       [0.0, 0.0, const.angstrom_to_bohr(1.10)]])
+    mol = Molecule(["N", "N"], coords, cfg)
+    stage(f"molecule built: {len(mol.cartesian_basis_functions)} cart AOs")
+
+    plan = IntegralPlan(mol.cartesian_basis_functions, mol.n_atoms)
+    stage(f"plan built: lmax={plan.lmax} n_prim_pairs={plan.n_prim_pairs} "
+          f"row_chunk={plan.eri_row_chunk}")
+    assert plan.lmax >= 3
+
+    coords_dev = jax.numpy.asarray(mol.coordinates)
+
+    # Stage 1: one-electron integrals on device (never faulted, sanity).
+    t0 = time.time()
+    S = plan.one_electron(coords_dev, mol.charges.astype(float),
+                          mol.centre_of_mass)[0]
+    s00 = float(S[0, 0])
+    stage(f"stage1 one-electron OK ({time.time()-t0:.1f}s, S[0,0]={s00:.6f})")
+
+    # Stage 2: the full on-device ERI sweep -- the historical faulter.
+    stage("stage2 on-device ERI sweep: compiling+running (fault window)...")
+    t0 = time.time()
+    eri = plan.eri(coords_dev)
+    v = float(eri[0, 0, 0, 0])  # fetch forces execution through the tunnel
+    stage(f"stage2 on-device ERI OK ({time.time()-t0:.1f}s, "
+          f"eri[0,0,0,0]={v:.10f})")
+
+    # Stage 3: parity vs the host CPU backend.
+    stage("stage3 CPU-backend reference sweep...")
+    cpu_eri = jax.jit(plan._eri_impl, backend="cpu")(coords_dev)
+    delta = float(np.max(np.abs(np.asarray(eri) - np.asarray(cpu_eri))))
+    stage(f"stage3 parity max|delta|={delta:.3e} "
+          f"({'OK' if delta < 1e-10 else 'FAIL'})")
+
+    stage("=== triage complete: on-device f-shell ERIs WORK ===" if delta < 1e-10
+          else "=== triage complete: parity FAIL ===")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
