@@ -71,6 +71,38 @@ def main():
     s00 = float(S[0, 0])
     stage(f"stage1 one-electron OK ({time.time()-t0:.1f}s, S[0,0]={s00:.6f})")
 
+    # Stage 1b/1c: the high-order helpers the ERI kernel needs beyond what
+    # the (working) one-electron kernel exercises -- isolate the fault site.
+    import jax.numpy as jnp
+    from tuna_tpu.ops.boys import boys_table
+    from tuna_tpu.ops.integrals import build_scaled_Rz_table
+
+    nmax4 = 4 * plan.lmax
+    t0 = time.time()
+    Targ = jnp.linspace(0.0, 80.0, 4096, dtype=jnp.float64)
+    F = jax.jit(lambda T: boys_table(nmax4, T))(Targ)
+    f0 = float(F[0, 0])
+    stage(f"stage1b boys_table(nmax={nmax4}) OK ({time.time()-t0:.1f}s, "
+          f"F_0(0)={f0:.6f})")
+
+    t0 = time.time()
+    PQz = jnp.linspace(-3.0, 3.0, 4096, dtype=jnp.float64)
+    alpha = jnp.linspace(0.3, 8.0, 4096, dtype=jnp.float64)
+    Rz = jax.jit(lambda z, al: build_scaled_Rz_table(2 * nmax4 // 2, nmax4,
+                                                     z, al))(PQz, alpha)
+    r0 = float(Rz[0, 0, 0])
+    stage(f"stage1c Rz table (vmax={nmax4}, nmax={nmax4}) OK "
+          f"({time.time()-t0:.1f}s, Rz[0,0,0]={r0:.6f})")
+
+    # Stage 2a: packed pair-matrix sweep (same quartet kernel core, smaller
+    # output program than the dense N^4 expansion).
+    stage("stage2a packed ERI sweep: compiling+running (fault window)...")
+    t0 = time.time()
+    G_pair = plan.eri_pair_packed(coords_dev)
+    v = float(G_pair[0, 0])
+    stage(f"stage2a packed ERI OK ({time.time()-t0:.1f}s, "
+          f"G[0,0]={v:.10f})")
+
     # Stage 2: the full on-device ERI sweep -- the historical faulter.
     stage("stage2 on-device ERI sweep: compiling+running (fault window)...")
     t0 = time.time()
