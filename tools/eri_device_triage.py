@@ -118,7 +118,30 @@ def main():
     stage(f"stage3 parity max|delta|={delta:.3e} "
           f"({'OK' if delta < 1e-10 else 'FAIL'})")
 
-    stage("=== triage complete: on-device f-shell ERIs WORK ===" if delta < 1e-10
+    # Stage 4: lmax=4 (g functions) -- H2/cc-pV5Z, the next order up; the
+    # fallback gate covers ALL lmax >= 3, so flipping it needs evidence
+    # beyond f shells.
+    cfg5 = Config("SPE", lookup_method("HF"), 0.0, [], "CC-PV5Z",
+                  ["H", "H"], suppress_output=True)
+    coords5 = np.array([[0.0, 0.0, 0.0],
+                        [0.0, 0.0, const.angstrom_to_bohr(0.74)]])
+    mol5 = Molecule(["H", "H"], coords5, cfg5)
+    plan5 = IntegralPlan(mol5.cartesian_basis_functions, mol5.n_atoms)
+    stage(f"stage4 H2/cc-pV5Z plan: lmax={plan5.lmax} "
+          f"n_prim_pairs={plan5.n_prim_pairs}")
+    c5 = jax.numpy.asarray(mol5.coordinates)
+    t0 = time.time()
+    eri5 = plan5.eri(c5)
+    v5 = float(eri5[0, 0, 0, 0])
+    stage(f"stage4 on-device g-shell ERI OK ({time.time()-t0:.1f}s, "
+          f"(0000)={v5:.10f})")
+    cpu5 = jax.jit(plan5._eri_impl, backend="cpu")(c5)
+    d5 = float(np.max(np.abs(np.asarray(eri5) - np.asarray(cpu5))))
+    stage(f"stage4 parity max|delta|={d5:.3e} "
+          f"({'OK' if d5 < 1e-10 else 'FAIL'})")
+
+    ok = delta < 1e-10 and d5 < 1e-10
+    stage("=== triage complete: on-device f/g-shell ERIs WORK ===" if ok
           else "=== triage complete: parity FAIL ===")
     return 0
 
