@@ -97,7 +97,32 @@ def ensure_live_backend(timeout=600):
     env["PYTHONPATH"] = os.pathsep.join(pythonpath)
     env["JAX_PLATFORMS"] = "cpu"
     env["BENCH_BACKEND_CHECKED"] = "1"
+    env["BENCH_TPU_UNREACHABLE"] = "1"
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+def tpu_outage_fields(backend):
+    """When the TPU tunnel is down at bench time, attach the most recent
+    TPU-recorded artifact (committed mid-round) as INFORMATIONAL fields --
+    the scored `value` stays the honest live measurement on `backend`."""
+    if backend != "cpu" or not os.environ.get("BENCH_TPU_UNREACHABLE"):
+        return {}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_r04_midround_tpu.json")
+    try:
+        with open(path) as fh:
+            tpu = json.load(fh)
+    except OSError:
+        return {"tpu_outage": True}
+    return {"tpu_outage": True,
+            "note": ("TPU tunnel unreachable at bench time; this run "
+                     "measured on CPU.  tpu_midround_* fields quote the "
+                     "TPU artifact recorded earlier in the round "
+                     "(BENCH_r04_midround_tpu.json)."),
+            "tpu_midround_value": tpu.get("value"),
+            "tpu_midround_wall_ours_ms": tpu.get("wall_ours_ms"),
+            "tpu_midround_wall_speedup_ccpvtz": tpu.get("wall_speedup_ccpvtz"),
+            "tpu_midround_energy_delta_ha": tpu.get("energy_delta_ha")}
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +362,7 @@ def main():
         "headline_latency_floor_ms": 25.0,
         **({k: float(f"{val:.4g}") for k, val in secondary.items()}
            if secondary else {}),
+        **tpu_outage_fields(backend),
     }), flush=True)
 
 
