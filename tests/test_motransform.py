@@ -103,6 +103,21 @@ def test_direct_correlated_matches_stored(line_pair):
 
 
 @pytest.mark.slow
+def test_direct_ccsd_cc_pvqz_matches_stored():
+    """CCSD/cc-pVQZ H2 (lmax=3, v=59): the transform-direct MO path at a
+    correlated large-ish basis reproduces the stored-tensor energy.  This is
+    the CPU-sized stand-in for the cc-pV5Z+ HBM story (BASELINE.md Manual
+    section 7.2): under DIRECT the N^4 AO tensor is never materialised.
+    Measured 2026-08-18 on this box: stored 66 s, direct 348 s,
+    delta 3.6e-15 Ha."""
+    stored = run("SPE : H H 0.74 : CCSD CC-PVQZ : TIGHTSCF",
+                 suppress_output=True)[2]
+    direct = run("SPE : H H 0.74 : CCSD CC-PVQZ : DIRECT TIGHTSCF",
+                 suppress_output=True)[2]
+    assert abs(stored - direct) < 1e-10, (stored, direct)
+
+
+@pytest.mark.slow
 def test_sharded_transform_cc_pv6z_shapes():
     """cc-pV6Z H2 SHAPE validation of the sharded transform on the virtual
     mesh (N_cart = 252, n_ao_pairs = 31878, n_mo = 182 spherical): no
