@@ -50,6 +50,70 @@ def test_scan_driver_takes_parallel_fast_path():
     assert all(abs(d) > 0.1 for d in dipoles)
 
 
+@pytest.mark.parametrize("method_basis,kw,system,bonds", [
+    ("B3LYP STO-3G", "TIGHTSCF", "H H", (1.2, 1.9)),          # hybrid GGA
+    ("TPSS STO-3G", "TIGHTSCF", "H H", (1.2, 1.9)),           # meta-GGA (tau)
+    ("UB3LYP STO-3G", "CH 1 ML 2 TIGHTSCF", "LI H", (2.6, 3.3)),  # unrestricted
+])
+def test_sharded_dft_scan_matches_serial(method_basis, kw, system, bonds):
+    """DFT rides the sharded batch: per-geometry quadrature grids are
+    stacked along the batch axis and consumed by one vmapped SCF kernel
+    (parallel._solve_points), reproducing serial single points."""
+    import jax
+    from tuna_tpu import parallel
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    ct, ms, basis, symbols, coords, params = parse_input(
+        f"SPE : {system} 1.0 : {method_basis} : {kw}")
+    cfg = Config(ct, process_method(ms), time.time(), params, basis, symbols,
+                 suppress_output=True)
+    R_batch = np.linspace(*bonds, 8)
+    energies, converged = parallel.scan_energies_parallel(
+        cfg, symbols, R_batch, parallel.device_mesh())
+    assert converged.all()
+    for R, E_batch in zip(R_batch[:2], energies[:2]):
+        line = (f"SPE : {system} {R * 0.529177210544:.12f} : "
+                f"{method_basis} : {kw}")
+        E_serial = run(line, suppress_output=True)[2]
+        assert abs(E_batch - E_serial) < 1e-9, (R, E_batch, E_serial)
+
+
+def test_sharded_scan_includes_dispersion():
+    """Regression: the batch path must add the per-point D2 dispersion term
+    (it was silently dropped -- the fast-path gate admitted D2 scans but
+    scan_points_parallel only added nuclear repulsion)."""
+    import jax
+    from tuna_tpu import parallel
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    ct, ms, basis, symbols, coords, params = parse_input(
+        "SPE : LI H 1.6 : HF STO-3G : D2 TIGHTSCF")
+    cfg = Config(ct, process_method(ms), time.time(), params, basis, symbols,
+                 suppress_output=True)
+    R_batch = np.linspace(2.6, 3.0, 8)
+    energies, converged = parallel.scan_energies_parallel(
+        cfg, symbols, R_batch, parallel.device_mesh())
+    assert converged.all()
+    line = f"SPE : LI H {R_batch[0] * 0.529177210544:.12f} : HF STO-3G : D2 TIGHTSCF"
+    E_serial = run(line, suppress_output=True)[2]
+    assert abs(energies[0] - E_serial) < 1e-9, (energies[0], E_serial)
+
+
+def test_scan_driver_takes_parallel_fast_path_dft():
+    """The production SCAN driver routes pure/hybrid DFT scans through the
+    sharded batch on a multi-device host and reproduces serial SPE energies."""
+    bond_lengths, energies, dipoles = run(
+        "SCAN : H H 0.80 : PBE STO-3G : NUM 6 STEP 0.07 TIGHTSCF",
+        suppress_output=True)
+    assert len(energies) == 6
+    for R, E_scan in zip(bond_lengths[:2], energies[:2]):
+        line = f"SPE : H H {R * 0.529177210544:.12f} : PBE STO-3G : TIGHTSCF"
+        E_serial = run(line, suppress_output=True)[2]
+        assert abs(E_scan - E_serial) < 1e-9, (R, E_scan, E_serial)
+
+
 @pytest.mark.smoke
 def test_sharded_fock_build_matches_dense():
     """ERI sharded over 8 chips: J/K from shard_map + all_gather match the

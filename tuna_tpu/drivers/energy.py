@@ -383,19 +383,16 @@ def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
 
     # Multi-device fast path: PES points are embarrassingly parallel, so on
     # a multi-chip mesh the whole scan runs as ONE sharded batched SCF solve
-    # (tuna_tpu.parallel) instead of the serial MOREAD-chained walk.  Serial
-    # remains the fallback for correlated/DFT/field/extrapolated scans and
-    # for any unconverged batch (where density chaining earns its keep).
+    # (tuna_tpu.parallel) instead of the serial MOREAD-chained walk.  Covers
+    # mean-field HF/UHF and pure/hybrid (meta-)GGA DFT (per-point grids ride
+    # the batch axis); serial remains the fallback for correlated/VV10/
+    # double-hybrid/field/extrapolated scans and for any unconverged batch
+    # (where density chaining earns its keep).
     import jax as _jax
-    plain_mean_field = (calculation.method.name in ("HF", "UHF")
-                        and not calculation.DFT_calculation
-                        and not getattr(calculation, "extrapolate", False)
-                        and not getattr(calculation, "direct_scf", False)
-                        and not np.any(calculation.electric_field)
-                        and not np.any(calculation.electric_field_gradient)
+    from .. import parallel
+    plain_mean_field = (parallel.mean_field_batchable(calculation)
                         and not calculation.dipole)
     if _jax.device_count() > 1 and plain_mean_field:
-        from .. import parallel
         bonds = []
         b = bond_length
         for _ in range(calculation.number_of_steps):

@@ -62,10 +62,16 @@ def fock_build_sharded(ERI, P_total, mesh: Mesh | None = None, axis: str = "tp")
 
 
 def _batched_inputs(calculation, atomic_symbols, bond_lengths):
-    """Per-geometry integrals, orthogonalisers and core guesses, stacked,
-    plus per-geometry metadata for property evaluation."""
+    """Per-geometry integrals, orthogonalisers, core guesses and (for DFT)
+    quadrature grids, stacked, plus per-geometry metadata for property
+    evaluation.  "E_add" collects the per-point classical additive terms
+    (nuclear repulsion + D2 dispersion) the SCF electronic energy lacks."""
     mats = {"T": [], "V": [], "ERI": [], "S": [], "X": [], "Pa": [], "Pb": [],
-            "V_NN": []}
+            "E_add": []}
+    is_dft = bool(calculation.DFT_calculation)
+    if is_dft:
+        from .dft import grid as dft_grid
+        mats["BFS"], mats["W"], mats["GRADS"] = [], [], []
     meta = []
     molecule = None
     for R in bond_lengths:
@@ -89,26 +95,48 @@ def _batched_inputs(calculation, atomic_symbols, bond_lengths):
         mats["X"].append(Xn)
         mats["Pa"].append(P_a)
         mats["Pb"].append(P_b)
-        mats["V_NN"].append(float(np.prod([float(c) for c in molecule.charges]))
-                            / float(R))
+        V_NN = (float(np.prod([float(c) for c in molecule.charges]))
+                / float(R))
+        E_disp = common.calculate_additive_dispersion_energy(
+            molecule, calculation, True)
+        mats["E_add"].append(V_NN + float(E_disp))
+        if is_dft:
+            # Grid dimensions come from grid_parameters (geometry-independent
+            # for a fixed element pair + accuracy tier), so the per-point
+            # grid tensors stack into one regular batch axis.
+            bfs_g, w_g, grads_g, _pts = dft_grid.set_up_integration_grid(
+                molecule, jnp.asarray(P_a), jnp.asarray(P_b), calculation,
+                silent=True)
+            mats["BFS"].append(np.asarray(bfs_g))
+            mats["W"].append(np.asarray(w_g))
+            mats["GRADS"].append(np.asarray(grads_g)
+                                 if grads_g is not None else None)
         meta.append({"coordinates": coords,
                      "centre_of_mass": molecule.centre_of_mass,
                      "charges": molecule.charges,
                      "D": [np.asarray(Dc) for Dc in integrals.D],
                      "integrals": integrals})
-    stacked = {k: jnp.asarray(np.stack(vs)) for k, vs in mats.items()}
+    if is_dft and mats["GRADS"] and mats["GRADS"][0] is None:
+        mats["GRADS"] = None
+    stacked = {k: (jnp.asarray(np.stack(vs)) if vs is not None else None)
+               for k, vs in mats.items()}
     return molecule, stacked, meta
 
 
 def mean_field_batchable(calculation, *, fields_free=True):
     """True when a calculation's SCF solves can ride the sharded batch
-    kernels below: plain mean-field HF/UHF, no DFT grid, stored integrals
+    kernels below: mean-field HF/UHF or pure/hybrid DFT (grids become a
+    stacked batch axis; VV10 and double hybrids stay serial -- their
+    non-local/post-SCF terms are not in the kernel), stored integrals
     (DIRECT closes over per-geometry coordinates) and no CBS extrapolation.
     `fields_free` additionally requires no applied field -- geometry batches
     share the field-free kernel signature, while the field batch
     (field_energies_parallel) naturally owns its field axis."""
-    ok = (calculation.method.name in ("HF", "UHF")
-          and not calculation.DFT_calculation
+    plain_hf = calculation.method.name in ("HF", "UHF")
+    batchable_dft = (calculation.DFT_calculation
+                     and not getattr(calculation, "VV10", False)
+                     and not getattr(calculation, "MPC_prop", 0))
+    ok = ((plain_hf or batchable_dft)
           and not getattr(calculation, "extrapolate", False)
           and not getattr(calculation, "direct_scf", False))
     if fields_free:
@@ -144,16 +172,16 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
         dynamic_damping=calculation.damping_factor is None,
         partition_0=int(molecule.partition_ranges[0]),
         n_atoms=molecule.n_atoms)
-    kernel = get_scf_kernel(settings)
 
     conv = calculation.SCF_conv
     static_damping = calculation.damping_factor or 0.0
     zeros = jnp.zeros_like(batch["S"])
 
     coords_dummy = jnp.zeros((molecule.n_atoms, 3))
+    is_dft = bool(calculation.DFT_calculation)
 
-    def solve_one(T, V, ERI, S, X, Pa, Pb):
-        n_steps, converged, E, P_a, P_b, _, _ = kernel(
+    def kernel_call(kern, T, V, ERI, S, X, Pa, Pb):
+        n_steps, converged, E, P_a, P_b, _, _ = kern(
             T, V, ERI, S, X, zeros[0], zeros[0], coords_dummy, Pa, Pb, 0.0,
             calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
             conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
@@ -161,17 +189,59 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
         return E, converged, P_a + P_b
 
     axis = mesh.axis_names[0]
-    shard_mat = NamedSharding(mesh, PartitionSpec(axis))
-    shard_vec = NamedSharding(mesh, PartitionSpec(axis))
-    batched = jax.jit(
-        jax.vmap(solve_one),
-        in_shardings=(shard_mat,) * 7,
-        out_shardings=(shard_vec, shard_vec, shard_mat))
+    shard_b = NamedSharding(mesh, PartitionSpec(axis))
 
-    energies, converged, P = batched(batch["T"], batch["V"], batch["ERI"],
-                                     batch["S"], batch["X"], batch["Pa"],
-                                     batch["Pb"])
-    energies = (np.asarray(energies) + np.asarray(batch["V_NN"]))[:n_points]
+    if is_dft:
+        # The per-geometry quadrature grids ride the same batch axis as the
+        # integrals: one UNJITTED kernel (make_scf_kernel_fn) whose XC
+        # closure consumes the vmapped grid tracers, vmapped + jitted as a
+        # whole.  The serial path's jitted-kernel cache is bypassed -- the
+        # grid arrays must be arguments, not trace constants, for GSPMD to
+        # shard them.
+        from .dft import make_xc_fn
+        from .scf import make_scf_kernel_fn
+        xc_fn, needs_gradient = make_xc_fn(calculation)
+        have_grads = batch.get("GRADS") is not None
+        n_grid = int(batch["W"].shape[1] * batch["W"].shape[2])
+
+        def solve_one_dft(T, V, ERI, S, X, Pa, Pb, bfs, w, grads):
+            def xc_closure(P_a, P_b, HFX, DFX, DFC):
+                return xc_fn(P_a, P_b, HFX, DFX, DFC, bfs, w, grads)
+            xc_closure.zero_density = lambda: jnp.zeros((n_grid,),
+                                                        dtype=w.dtype)
+            kern = make_scf_kernel_fn(settings, xc_closure)
+            return kernel_call(kern, T, V, ERI, S, X, Pa, Pb)
+
+        grads_batch = batch["GRADS"] if have_grads else batch["W"]
+        grads_axis = 0 if have_grads else None
+
+        def solve_one(T, V, ERI, S, X, Pa, Pb, bfs, w, grads):
+            return solve_one_dft(T, V, ERI, S, X, Pa, Pb, bfs, w,
+                                 grads if have_grads else None)
+
+        batched = jax.jit(
+            jax.vmap(solve_one,
+                     in_axes=(0,) * 9 + (grads_axis,)),
+            in_shardings=(shard_b,) * 9
+            + ((shard_b,) if have_grads else (None,)),
+            out_shardings=(shard_b, shard_b, shard_b))
+        energies, converged, P = batched(
+            batch["T"], batch["V"], batch["ERI"], batch["S"], batch["X"],
+            batch["Pa"], batch["Pb"], batch["BFS"], batch["W"], grads_batch)
+    else:
+        kernel = get_scf_kernel(settings)
+
+        def solve_one(T, V, ERI, S, X, Pa, Pb):
+            return kernel_call(kernel, T, V, ERI, S, X, Pa, Pb)
+
+        batched = jax.jit(
+            jax.vmap(solve_one),
+            in_shardings=(shard_b,) * 7,
+            out_shardings=(shard_b, shard_b, shard_b))
+        energies, converged, P = batched(batch["T"], batch["V"], batch["ERI"],
+                                         batch["S"], batch["X"], batch["Pa"],
+                                         batch["Pb"])
+    energies = (np.asarray(energies) + np.asarray(batch["E_add"]))[:n_points]
     P = np.asarray(P)[:n_points]
     converged = np.asarray(converged)[:n_points]
     return energies, converged, P, meta[:n_points]
@@ -235,6 +305,8 @@ def field_energies_parallel(calculation, atomic_symbols, coordinates, fields,
                                                         calculation, True)
     V_NN = float(np.prod([float(c) for c in molecule.charges])
                  / np.linalg.norm(coords[1] - coords[0]))
+    V_NN += float(common.calculate_additive_dispersion_energy(
+        molecule, calculation, True))
 
     n_f = len(fields) if fields is not None else len(field_gradients)
     if fields is None:
@@ -272,7 +344,15 @@ def field_energies_parallel(calculation, atomic_symbols, coordinates, fields,
         dynamic_damping=calculation.damping_factor is None,
         partition_0=int(molecule.partition_ranges[0]),
         n_atoms=molecule.n_atoms)
-    kernel = get_scf_kernel(settings)
+    xc_closure = None
+    if calculation.DFT_calculation:
+        # One geometry across the whole field batch: the grid binds as
+        # trace constants exactly like the serial path.
+        from .dft import grid as dft_grid, make_xc_closure
+        grid_container = dft_grid.set_up_integration_grid(
+            molecule, P_a, P_b, calculation, silent=True)
+        xc_closure = make_xc_closure(calculation, grid_container)
+    kernel = get_scf_kernel(settings, xc_closure)
 
     conv = calculation.SCF_conv
     static_damping = calculation.damping_factor or 0.0

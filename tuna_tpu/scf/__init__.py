@@ -190,8 +190,11 @@ def _electronic_energy(P_a, P_b, J_a, J_b, K_a, K_b, T, V_NE, Fld, G,
     return total, components
 
 
-def _make_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
-    """Build the jitted SCF while_loop for a given static configuration.
+def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None):
+    """Build the SCF while_loop UNJITTED for a given static configuration.
+
+    Batched callers (tuna_tpu.parallel) vmap this function and jit the
+    vmapped result; serial callers use get_scf_kernel (jitted + cached).
 
     xc_closure(P_a, P_b) -> (V_XC_a, V_XC_b, E_x_grid, E_c_grid,
                              density, alpha_density, beta_density)
@@ -365,7 +368,11 @@ def _make_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
         converged = final[-3]
         return (step - 1, converged, E, P_a, P_b, stats, outs)
 
-    return jax.jit(kernel)
+    return kernel
+
+
+def _make_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
+    return jax.jit(make_scf_kernel_fn(settings, xc_closure, fock_closure))
 
 
 _KERNEL_CACHE: dict = {}
