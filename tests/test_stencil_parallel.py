@@ -48,6 +48,27 @@ def test_batched_polarisability_matches_serial(monkeypatch):
     assert abs(alpha_batched - alpha_serial) < 1e-5, (alpha_batched, alpha_serial)
 
 
+def test_batched_dft_polarisability_matches_serial(monkeypatch):
+    """DFT finite-field stencils ride the batch too: field_energies_parallel
+    binds the single-geometry quadrature grid into the kernel's XC closure
+    (round 4)."""
+    import jax
+    from tuna_tpu.drivers import electric
+
+    assert jax.device_count() >= 2
+    cfg, symbols, molecule, SCF_output, E = _converged_state(
+        "SPE : H H 0.74 : PBE STO-3G : EXTREMESCF")
+    coords = molecule.coordinates
+
+    args = (molecule, cfg, E, True, symbols, coords, SCF_output.integrals)
+    alpha_batched = electric.calculate_polarisability(*args)
+
+    monkeypatch.setattr(electric, "_prefetch_field_energies",
+                        lambda *a, **k: None)
+    alpha_serial = electric.calculate_polarisability(*args)
+    assert abs(alpha_batched - alpha_serial) < 1e-5, (alpha_batched, alpha_serial)
+
+
 def test_batched_quadrupole_matches_serial(monkeypatch):
     import jax
     from tuna_tpu.drivers import electric
