@@ -146,9 +146,12 @@ def mean_field_batchable(calculation, *, fields_free=True):
 
 
 def _solve_points(calculation, atomic_symbols, bond_lengths,
-                  mesh: Mesh | None = None):
+                  mesh: Mesh | None = None, return_orbitals=False):
     """Core sharded batch solve: converged SCF energies, convergence flags,
-    total densities and per-point metadata for a batch of bond lengths."""
+    total densities and per-point metadata for a batch of bond lengths.
+    With return_orbitals, additionally returns the per-point converged MO
+    coefficients and eigenvalues plus the (shared-shape) Molecule -- the
+    inputs the batched correlated post-processing needs."""
     if mesh is None:
         mesh = device_mesh()
 
@@ -179,13 +182,17 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
 
     coords_dummy = jnp.zeros((molecule.n_atoms, 3))
     is_dft = bool(calculation.DFT_calculation)
+    if return_orbitals and is_dft:
+        raise ValueError("return_orbitals is a mean-field-HF path")
 
     def kernel_call(kern, T, V, ERI, S, X, Pa, Pb):
-        n_steps, converged, E, P_a, P_b, _, _ = kern(
+        n_steps, converged, E, P_a, P_b, _, outs = kern(
             T, V, ERI, S, X, zeros[0], zeros[0], coords_dummy, Pa, Pb, 0.0,
             calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
             conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
             static_damping, calculation.max_damping)
+        if return_orbitals:
+            return E, converged, P_a + P_b, outs["mos_a"], outs["eps_a"]
         return E, converged, P_a + P_b
 
     axis = mesh.axis_names[0]
@@ -234,32 +241,102 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
         def solve_one(T, V, ERI, S, X, Pa, Pb):
             return kernel_call(kernel, T, V, ERI, S, X, Pa, Pb)
 
+        n_out = 5 if return_orbitals else 3
         batched = jax.jit(
             jax.vmap(solve_one),
             in_shardings=(shard_b,) * 7,
-            out_shardings=(shard_b, shard_b, shard_b))
-        energies, converged, P = batched(batch["T"], batch["V"], batch["ERI"],
-                                         batch["S"], batch["X"], batch["Pa"],
-                                         batch["Pb"])
+            out_shardings=(shard_b,) * n_out)
+        out = batched(batch["T"], batch["V"], batch["ERI"],
+                      batch["S"], batch["X"], batch["Pa"], batch["Pb"])
+        energies, converged, P = out[:3]
+        if return_orbitals:
+            mos, eps = out[3], out[4]
     energies = (np.asarray(energies) + np.asarray(batch["E_add"]))[:n_points]
     P = np.asarray(P)[:n_points]
     converged = np.asarray(converged)[:n_points]
+    if return_orbitals:
+        return (energies, converged, P, meta[:n_points],
+                np.asarray(mos)[:n_points], np.asarray(eps)[:n_points],
+                molecule)
     return energies, converged, P, meta[:n_points]
+
+
+def mp2_scan_batchable(calculation, atomic_symbols):
+    """Restricted closed-form MP2/SCS-MP2 scans ride the batch too: the
+    batched SCF returns per-point orbitals and the correlation energy is a
+    pure vmapped function of (ERI_AO, C, epsilons).  Iterative/orbital-
+    optimised/Laplace variants and spin-orbital (UHF) MP2 stay serial.
+
+    The RHF/UHF reference is only decided once a Molecule is processed
+    (system.py), so replicate that decision here from the multiplicity,
+    electron parity and method flags."""
+    if (calculation.method.name not in ("MP2", "SCS-MP2")
+            or calculation.DFT_calculation
+            or getattr(calculation, "extrapolate", False)
+            or getattr(calculation, "direct_scf", False)
+            or np.any(calculation.electric_field)
+            or np.any(calculation.electric_field_gradient)):
+        return False
+    from .periodic import make_atom
+    n_electrons = (sum(make_atom(s.upper(), (0.0, 0.0, 0.0)).charge
+                       for s in atomic_symbols)
+                   - calculation.charge)
+    multiplicity = calculation.multiplicity
+    if calculation.default_multiplicity and n_electrons % 2 != 0:
+        multiplicity = 2
+    return (multiplicity == 1 and not calculation.method.unrestricted
+            and calculation.method.restricted_available)
+
+
+def _batched_restricted_mp2(calculation, molecule, meta, mos, eps):
+    """Vmapped closed-form restricted MP2/SCS-MP2 correlation energies for a
+    batch of converged points (transform + energy in ONE jitted call)."""
+    from .post import mp as mp_mod
+    from .post import transforms
+
+    o = slice(molecule.n_core_orbitals if calculation.freeze_core else 0,
+              molecule.n_doubly_occ)
+    v = slice(molecule.n_doubly_occ, None)
+    do_scs = mp_mod._spin_component_scaling_active(calculation)
+    ss = calculation.same_spin_scaling if do_scs else 1.0
+    osc = calculation.opposite_spin_scaling if do_scs else 1.0
+    ERI_b = jnp.asarray(np.stack([np.asarray(m["integrals"].ERI_AO)
+                                  for m in meta]))
+
+    def one(ERI, C, e):
+        MO = transforms.ao_to_mo_chemists(ERI, C)
+        g_phys = transforms.chemists_to_physicists(MO)
+        e_ijab = transforms.doubles_epsilons(e, e, o, o, v, v)
+        E_OS, E_SS, *_ = mp_mod._restricted_mp2_core(
+            g_phys[o, o, v, v], e_ijab, molecule.n_doubly_occ)
+        return osc * E_OS + ss * E_SS
+
+    return np.asarray(jax.jit(jax.vmap(one))(
+        ERI_b, jnp.asarray(mos), jnp.asarray(eps)))
 
 
 def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
                          mesh: Mesh | None = None):
-    """Converged SCF energies, convergence flags and analytic dipole moments
+    """Converged energies, convergence flags and analytic dipole moments
     for a batch of bond lengths, data-parallel over the mesh.
 
-    Restricted to mean-field field-free methods (HF/UHF); each geometry runs
-    the full jitted SCF while_loop, vmapped in lockstep and sharded over the
-    mesh's first axis.  This is the production fast path of the SCAN driver
+    Covers mean-field HF/UHF and DFT (mean_field_batchable) plus restricted
+    closed-form MP2/SCS-MP2 (mp2_scan_batchable); each geometry runs the
+    full jitted SCF while_loop, vmapped in lockstep and sharded over the
+    mesh's first axis, with the MP2 correlation added by a second vmapped
+    call.  This is the production fast path of the SCAN driver
     (drivers/energy.scan_coordinate) on multi-device hosts; the reference
     walks scan points serially (tuna_energy.py:975-1085).
     """
-    energies, converged, P, meta = _solve_points(calculation, atomic_symbols,
-                                                 bond_lengths, mesh)
+    if mp2_scan_batchable(calculation, atomic_symbols):
+        (energies, converged, P, meta, mos, eps,
+         molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
+                                   mesh, return_orbitals=True)
+        energies = energies + _batched_restricted_mp2(
+            calculation, molecule, meta, mos, eps)
+    else:
+        energies, converged, P, meta = _solve_points(
+            calculation, atomic_symbols, bond_lengths, mesh)
     from . import props
     dipoles = np.array([
         props.calculate_analytical_dipole_moment(
