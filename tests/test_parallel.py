@@ -140,6 +140,35 @@ def test_mp2_scan_gate_rejects_uhf():
     assert not parallel.mp2_scan_batchable(cfg, symbols)
 
 
+@pytest.mark.parametrize("method,kw", [
+    ("CCSD", "TIGHTSCF"),
+    ("CCSD[T]", "TIGHTSCF"),          # perturbative triples batch too
+    ("CCD", "TIGHTSCF FREEZECORE"),
+])
+def test_sharded_cc_scan_matches_serial(method, kw):
+    """Restricted CC/CI scans ride the batch: the amplitude while_loop is
+    vmapped over the geometry batch (parallel._batched_restricted_cc), with
+    (T) as a pure per-point correction on the converged amplitudes."""
+    import jax
+    from tuna_tpu import parallel
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    ct, ms, basis, symbols, coords, params = parse_input(
+        f"SPE : LI H 1.5 : {method} 6-31G : {kw}")
+    cfg = Config(ct, process_method(ms), time.time(), params, basis, symbols,
+                 suppress_output=True)
+    assert parallel.cc_scan_batchable(cfg, symbols)
+    R_batch = np.linspace(2.6, 3.3, 8)
+    energies, converged, _ = parallel.scan_points_parallel(
+        cfg, symbols, R_batch, parallel.device_mesh())
+    assert converged.all()
+    for R, E_batch in zip(R_batch[:2], energies[:2]):
+        line = f"SPE : LI H {R * 0.529177210544:.12f} : {method} 6-31G : {kw}"
+        E_serial = run(line, suppress_output=True)[2]
+        assert abs(E_batch - E_serial) < 1e-8, (R, E_batch, E_serial)
+
+
 def test_scan_driver_takes_parallel_fast_path_dft():
     """The production SCAN driver routes pure/hybrid DFT scans through the
     sharded batch on a multi-device host and reproduces serial SPE energies."""

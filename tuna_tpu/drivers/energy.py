@@ -392,7 +392,9 @@ def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
     from .. import parallel
     plain_mean_field = ((parallel.mean_field_batchable(calculation)
                          or parallel.mp2_scan_batchable(calculation,
-                                                        atomic_symbols))
+                                                        atomic_symbols)
+                         or parallel.cc_scan_batchable(calculation,
+                                                       atomic_symbols))
                         and not calculation.dipole)
     if _jax.device_count() > 1 and plain_mean_field:
         bonds = []

@@ -261,22 +261,10 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
     return energies, converged, P, meta[:n_points]
 
 
-def mp2_scan_batchable(calculation, atomic_symbols):
-    """Restricted closed-form MP2/SCS-MP2 scans ride the batch too: the
-    batched SCF returns per-point orbitals and the correlation energy is a
-    pure vmapped function of (ERI_AO, C, epsilons).  Iterative/orbital-
-    optimised/Laplace variants and spin-orbital (UHF) MP2 stay serial.
-
-    The RHF/UHF reference is only decided once a Molecule is processed
-    (system.py), so replicate that decision here from the multiplicity,
+def _restricted_reference(calculation, atomic_symbols):
+    """The RHF/UHF reference is only decided once a Molecule is processed
+    (system.py:263-269), so replicate that decision from the multiplicity,
     electron parity and method flags."""
-    if (calculation.method.name not in ("MP2", "SCS-MP2")
-            or calculation.DFT_calculation
-            or getattr(calculation, "extrapolate", False)
-            or getattr(calculation, "direct_scf", False)
-            or np.any(calculation.electric_field)
-            or np.any(calculation.electric_field_gradient)):
-        return False
     from .periodic import make_atom
     n_electrons = (sum(make_atom(s.upper(), (0.0, 0.0, 0.0)).charge
                        for s in atomic_symbols)
@@ -286,6 +274,49 @@ def mp2_scan_batchable(calculation, atomic_symbols):
         multiplicity = 2
     return (multiplicity == 1 and not calculation.method.unrestricted
             and calculation.method.restricted_available)
+
+
+def _scan_common_ok(calculation):
+    return not (calculation.DFT_calculation
+                or getattr(calculation, "extrapolate", False)
+                or getattr(calculation, "direct_scf", False)
+                or getattr(calculation, "read_checkpoint", False)
+                or np.any(calculation.electric_field)
+                or np.any(calculation.electric_field_gradient))
+
+
+def mp2_scan_batchable(calculation, atomic_symbols):
+    """Restricted closed-form MP2/SCS-MP2 scans ride the batch too: the
+    batched SCF returns per-point orbitals and the correlation energy is a
+    pure vmapped function of (ERI_AO, C, epsilons).  Iterative/orbital-
+    optimised/Laplace variants and spin-orbital (UHF) MP2 stay serial."""
+    return (calculation.method.name in ("MP2", "SCS-MP2")
+            and _scan_common_ok(calculation)
+            and _restricted_reference(calculation, atomic_symbols))
+
+
+# Restricted iterative methods whose amplitude solver (ONE while_loop,
+# post/cc._build_cc_solver_fn) vmaps over the geometry batch; CC2/CC3 (AO
+# tensor threaded through every iteration) and triples-and-higher stay
+# serial.  [T]/(T) suffixes batch too -- the perturbative correction is a
+# pure function of the converged amplitudes.
+_CC_SCAN_BASES = ("LCCD", "CCD", "LCCSD", "CID", "CISD", "QCISD", "CCSD")
+
+
+def _cc_base_name(name):
+    for tag in ("[T]", "(T)"):
+        name = name.split(tag)[0]
+    return name
+
+
+def cc_scan_batchable(calculation, atomic_symbols):
+    """Restricted CC/CI scans (CCSD family incl. perturbative triples) ride
+    the batch: per-point MO integrals and MP2 guess amplitudes feed one
+    vmapped amplitude while_loop."""
+    return (_cc_base_name(calculation.method.name) in _CC_SCAN_BASES
+            and calculation.method.name not in ("CC2", "CC3")
+            and _scan_common_ok(calculation)
+            and _restricted_reference(calculation, atomic_symbols))
 
 
 def _batched_restricted_mp2(calculation, molecule, meta, mos, eps):
@@ -315,6 +346,72 @@ def _batched_restricted_mp2(calculation, molecule, meta, mos, eps):
         ERI_b, jnp.asarray(mos), jnp.asarray(eps)))
 
 
+def _batched_restricted_cc(calculation, molecule, meta, mos, eps):
+    """Vmapped restricted CC/CI correlation energies for a batch of
+    converged points: MO transform + MP2 guess + the full amplitude
+    while_loop (+ perturbative (T)) in ONE jitted call.  Returns
+    (E_corr, solver_converged) arrays over the batch."""
+    from .post import cc as cc_mod
+    from .post import transforms
+
+    name = calculation.method.name
+    base = _cc_base_name(name)
+    do_T = name != base
+    s = molecule.n_core_orbitals if calculation.freeze_core else 0
+    ndocc = molecule.n_doubly_occ
+    n_mo = int(np.asarray(mos).shape[-1])
+    o_full, v_full = slice(s, ndocc), slice(ndocc, None)
+    no, nv = ndocc - s, n_mo - ndocc
+
+    settings = cc_mod.CCSettings(
+        method=base, restricted=True,
+        update_singles=base not in cc_mod._NO_SINGLES,
+        keep_disconnected=base not in cc_mod._NO_DISCONNECTED,
+        n_occ=no, n_virt=nv,
+        max_iter=int(calculation.correlated_max_iter),
+        use_diis=bool(calculation.DIIS),
+        max_diis=int(calculation.max_DIIS_matrices),
+        damping=float(calculation.correlated_damping_parameter),
+        o_start=s,
+        use_ozaki=cc_mod.ozaki_appropriate(no, nv))
+    solver_fn = cc_mod._build_cc_solver_fn(settings)
+    dummy, d3_dummy = jnp.zeros((1, 1)), jnp.zeros((1,))
+    ERI_b = jnp.asarray(np.stack([np.asarray(m["integrals"].ERI_AO)
+                                  for m in meta]))
+
+    def one(ERI, C, e):
+        MO = transforms.ao_to_mo_chemists(ERI, C)
+        g = MO.swapaxes(1, 2)          # chemists -> physicists <pq|rs>
+        F = jnp.diag(e)
+        e_ia = transforms.singles_epsilons(e, o_full, v_full)
+        e_ijab = transforms.doubles_epsilons(e, e, o_full, o_full,
+                                             v_full, v_full)
+        t_ia = e_ia * F[o_full, v_full]
+        t_ijab = g[o_full, o_full, v_full, v_full] * e_ijab
+        g_l, F_l = (g[s:, s:, s:, s:], F[s:, s:]) if s else (g, F)
+        (n_steps, conv, failed, E_CC, t1, t2, stats, parts) = solver_fn(
+            g_l, F_l, e_ia, e_ijab, t_ia, t_ijab, dummy, dummy, dummy,
+            d3_dummy, calculation.energy_convergence, calculation.amp_conv)
+        E = E_CC
+        if do_T:
+            e_ijkabc = transforms.triples_epsilons(e, o_full, v_full)
+            V, W, W_weighted = cc_mod._restricted_T_tensors(
+                g[o_full, o_full, v_full, v_full],
+                g[o_full, v_full, v_full, v_full],
+                g[o_full, o_full, v_full, o_full], t1, t2, e_ijkabc)
+            if "QCISD" in base:
+                V = V * 2.0
+            E_T = (1.0 / 3.0) * jnp.einsum(
+                "ijkabc,ijkabc,ijkabc->", W + V, W_weighted, e_ijkabc,
+                optimize=True)
+            E = E + E_T
+        return E, conv & ~failed
+
+    E_corr, ok = jax.jit(jax.vmap(one))(ERI_b, jnp.asarray(mos),
+                                        jnp.asarray(eps))
+    return np.asarray(E_corr), np.asarray(ok)
+
+
 def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
                          mesh: Mesh | None = None):
     """Converged energies, convergence flags and analytic dipole moments
@@ -334,6 +431,14 @@ def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
                                    mesh, return_orbitals=True)
         energies = energies + _batched_restricted_mp2(
             calculation, molecule, meta, mos, eps)
+    elif cc_scan_batchable(calculation, atomic_symbols):
+        (energies, converged, P, meta, mos, eps,
+         molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
+                                   mesh, return_orbitals=True)
+        E_corr, cc_ok = _batched_restricted_cc(
+            calculation, molecule, meta, mos, eps)
+        energies = energies + E_corr
+        converged = converged & cc_ok          # serial fallback if any failed
     else:
         energies, converged, P, meta = _solve_points(
             calculation, atomic_symbols, bond_lengths, mesh)
