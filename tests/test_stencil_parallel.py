@@ -119,3 +119,32 @@ def test_vpt2_end_to_end_uses_batched_window():
     assert result is not None
     _, _, freq_per_cm, zpe = result
     assert zpe > 0
+
+
+def test_correlated_vpt_window_batches(monkeypatch):
+    """Energy-only stencils (the VPT +/-3h,4h window, numerical gradients)
+    batch CORRELATED methods too -- the batched energies must match the
+    serial walk's correlated totals (round 4)."""
+    import jax
+    from tuna_tpu.drivers import opt
+
+    assert jax.device_count() >= 2
+    cfg, symbols, coords = make_config("SPE : LI H 1.6 : CCSD STO-3G : TIGHTSCF")
+    h = 0.01
+    batched = opt._batched_displaced_energies(
+        np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 3.0]]), cfg, symbols,
+        [-2 * h, -h, h, 2 * h], silent=True, energies_only=True)
+    assert batched is not None, "correlated energy-only stencil must batch"
+    energies = batched[0]
+
+    from tuna_tpu.drivers import energy as energ
+    for E_b, d in zip(energies[:2], (-2 * h, -h)):
+        coords_d = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 3.0 + d]])
+        _, _, E_s, _ = energ.evaluate_molecular_energy(
+            cfg, symbols, coords_d, silent=True)
+        assert abs(E_b - E_s) < 1e-8, (d, E_b, E_s)
+
+    # densities-consuming stencils must NOT batch correlated methods
+    assert opt._batched_displaced_energies(
+        np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 3.0]]), cfg, symbols,
+        [-h, h], silent=True) is None

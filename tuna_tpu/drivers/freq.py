@@ -175,7 +175,7 @@ def vibrational_perturbation_theory(frequency_hartree, energy, calculation,
     multiples = (-4, -3, 3, 4)
     batched = opt._batched_displaced_energies(
         coordinates, calculation, atomic_symbols, [m * h for m in multiples],
-        silent=True)
+        silent=True, energies_only=True)
     if batched is not None:
         log("  Calculating 4 displaced energies in one sharded batch...     ",
             calculation, end="")

@@ -32,7 +32,18 @@ def calculate_gradient(coordinates, calculation, atomic_symbols, silent=False,
         log("[Done]", calculation, 1, silent=silent)
         return gradient
 
-    prod = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, constants.FIRST_GEOM_DERIVATIVE_STEP]])
+    h = constants.FIRST_GEOM_DERIVATIVE_STEP
+    prod = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, h]])
+
+    # Multi-device: both displacements of the central difference run as one
+    # sharded batch (correlated methods included -- energies only).
+    batched = _batched_displaced_energies(coordinates, calculation,
+                                          atomic_symbols, [-h, h],
+                                          silent=silent, energies_only=True)
+    if batched is not None:
+        (E_backward, E_forward), _, _ = batched
+        return first_derivative(E_backward, E_forward, h)
+
     log(" Calculating energy on displaced geometry 1 of 2...   ", calculation, 1,
         end="", silent=silent)
     _, _, E_forward, _ = energ.evaluate_molecular_energy(
@@ -43,14 +54,18 @@ def calculate_gradient(coordinates, calculation, atomic_symbols, silent=False,
     _, _, E_backward, _ = energ.evaluate_molecular_energy(
         calculation, atomic_symbols, coordinates - prod, silent=True)
     log("[Done]", calculation, 1, silent=silent)
-    return first_derivative(E_backward, E_forward, constants.FIRST_GEOM_DERIVATIVE_STEP)
+    return first_derivative(E_backward, E_forward, h)
 
 
 def _batched_displaced_energies(coordinates, calculation, atomic_symbols,
-                                displacements, silent=False):
+                                displacements, silent=False,
+                                energies_only=False):
     """Geometry-stencil fast path: solve every bond-length displacement of a
     finite-difference stencil in one sharded batched SCF when more than one
-    device is visible and the method is plain mean-field.  Returns
+    device is visible.  Mean-field methods always qualify; with
+    energies_only (consumers that never touch the returned densities, e.g.
+    VPT windows and numerical gradients) restricted MP2/CC methods batch
+    too, their correlation energy added per point.  Returns
     (energies, densities, integrals_containers) in displacement order, or
     None when the stencil must walk serially."""
     import jax as _jax
@@ -60,8 +75,14 @@ def _batched_displaced_energies(coordinates, calculation, atomic_symbols,
     clean_diatomic = (coords.shape == (2, 3) and np.allclose(coords[0], 0.0)
                       and np.allclose(coords[1][:2], 0.0) and coords[1][2] > 0)
     has_ghost = any(str(s).upper().startswith("X") for s in atomic_symbols)
+    batchable = parallel.mean_field_batchable(calculation)
+    include_correlation = False
+    if not batchable and energies_only:
+        batchable = (parallel.mp2_scan_batchable(calculation, atomic_symbols)
+                     or parallel.cc_scan_batchable(calculation, atomic_symbols))
+        include_correlation = batchable
     if (_jax.device_count() <= 1 or not clean_diatomic or has_ghost
-            or not parallel.mean_field_batchable(calculation)):
+            or not batchable):
         return None
 
     bonds = [coords[1][2] + d for d in displacements]
@@ -70,7 +91,8 @@ def _batched_displaced_energies(coordinates, calculation, atomic_symbols,
     log(f" Distributing {len(bonds)} displaced geometries over "
         f"{_jax.device_count()} devices...", calculation, 1, silent=silent)
     energies, converged, P, meta = parallel.stencil_points_parallel(
-        calculation, atomic_symbols, bonds)
+        calculation, atomic_symbols, bonds,
+        include_correlation=include_correlation)
     if not converged.all():
         log(" Sharded stencil did not fully converge; falling back to the "
             "serial walk.", calculation, 1, silent=silent)

@@ -412,19 +412,13 @@ def _batched_restricted_cc(calculation, molecule, meta, mos, eps):
     return np.asarray(E_corr), np.asarray(ok)
 
 
-def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
-                         mesh: Mesh | None = None):
-    """Converged energies, convergence flags and analytic dipole moments
-    for a batch of bond lengths, data-parallel over the mesh.
-
-    Covers mean-field HF/UHF and DFT (mean_field_batchable) plus restricted
-    closed-form MP2/SCS-MP2 (mp2_scan_batchable); each geometry runs the
-    full jitted SCF while_loop, vmapped in lockstep and sharded over the
-    mesh's first axis, with the MP2 correlation added by a second vmapped
-    call.  This is the production fast path of the SCAN driver
-    (drivers/energy.scan_coordinate) on multi-device hosts; the reference
-    walks scan points serially (tuna_energy.py:975-1085).
-    """
+def _solve_points_correlated(calculation, atomic_symbols, bond_lengths,
+                             mesh: Mesh | None = None):
+    """Batched solve with the correlated energy added when the method gates
+    pass (restricted MP2/SCS-MP2 closed form, or the CC/CI amplitude loop);
+    mean-field otherwise.  Returns (total_energies, converged, P_SCF, meta)
+    -- the densities are the SCF ones, so callers that feed densities
+    downstream (dipole derivatives) must gate on mean_field_batchable."""
     if mp2_scan_batchable(calculation, atomic_symbols):
         (energies, converged, P, meta, mos, eps,
          molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
@@ -442,6 +436,24 @@ def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
     else:
         energies, converged, P, meta = _solve_points(
             calculation, atomic_symbols, bond_lengths, mesh)
+    return energies, converged, P, meta
+
+
+def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
+                         mesh: Mesh | None = None):
+    """Converged energies, convergence flags and analytic dipole moments
+    for a batch of bond lengths, data-parallel over the mesh.
+
+    Covers mean-field HF/UHF and DFT (mean_field_batchable) plus restricted
+    closed-form MP2/SCS-MP2 (mp2_scan_batchable); each geometry runs the
+    full jitted SCF while_loop, vmapped in lockstep and sharded over the
+    mesh's first axis, with the MP2 correlation added by a second vmapped
+    call.  This is the production fast path of the SCAN driver
+    (drivers/energy.scan_coordinate) on multi-device hosts; the reference
+    walks scan points serially (tuna_energy.py:975-1085).
+    """
+    energies, converged, P, meta = _solve_points_correlated(
+        calculation, atomic_symbols, bond_lengths, mesh)
     from . import props
     dipoles = np.array([
         props.calculate_analytical_dipole_moment(
@@ -451,13 +463,20 @@ def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
 
 
 def stencil_points_parallel(calculation, atomic_symbols, bond_lengths,
-                            mesh: Mesh | None = None):
+                            mesh: Mesh | None = None,
+                            include_correlation=False):
     """Finite-difference GEOMETRY stencil fast path: one sharded batched SCF
     solve over the displaced bond lengths of an OPT/FREQ/VPT stencil,
     returning per-point energies, convergence flags, total densities and the
     per-point integrals containers (the dipole-derivative stencils downstream
-    need the displaced D matrices).  The reference evaluates every displaced
-    geometry serially (tuna_opt.py:87-147, tuna_freq.py:822-959)."""
+    need the displaced D matrices).  With include_correlation the restricted
+    MP2/CC correlation energy is added per point (energy-only consumers:
+    VPT windows, numerical gradients) -- the returned densities stay SCF.
+    The reference evaluates every displaced geometry serially
+    (tuna_opt.py:87-147, tuna_freq.py:822-959)."""
+    if include_correlation:
+        return _solve_points_correlated(calculation, atomic_symbols,
+                                        bond_lengths, mesh)
     return _solve_points(calculation, atomic_symbols, bond_lengths, mesh)
 
 
