@@ -69,6 +69,27 @@ def test_batched_dft_polarisability_matches_serial(monkeypatch):
     assert abs(alpha_batched - alpha_serial) < 1e-5, (alpha_batched, alpha_serial)
 
 
+def test_batched_mp2_polarisability_matches_serial(monkeypatch):
+    """Correlated finite-field stencils batch too: the per-field-point
+    orbitals feed the vmapped MP2 correlation with the AO tensor broadcast
+    (round 4)."""
+    import jax
+    from tuna_tpu.drivers import electric
+
+    assert jax.device_count() >= 2
+    cfg, symbols, molecule, SCF_output, E = _converged_state(
+        "SPE : LI H 1.6 : MP2 STO-3G : EXTREMESCF")
+    coords = molecule.coordinates
+
+    args = (molecule, cfg, E, True, symbols, coords, SCF_output.integrals)
+    alpha_batched = electric.calculate_polarisability(*args)
+
+    monkeypatch.setattr(electric, "_prefetch_field_energies",
+                        lambda *a, **k: None)
+    alpha_serial = electric.calculate_polarisability(*args)
+    assert abs(alpha_batched - alpha_serial) < 1e-5, (alpha_batched, alpha_serial)
+
+
 def test_batched_quadrupole_matches_serial(monkeypatch):
     import jax
     from tuna_tpu.drivers import electric

@@ -40,13 +40,17 @@ def _prefetch_field_energies(calculation, atomic_symbols, coordinates,
     stencil in one sharded batched SCF (tuna_tpu.parallel) when more than
     one device is visible and the method is plain mean-field.  Returns the
     energies in the order of `fields`/`gradients`, or None when the stencil
-    must walk serially (correlated/DFT methods, single device, or an
-    unconverged batch) -- the reference always walks serially
-    (tuna_energy.py:315-759)."""
+    must walk serially (single device, an unconverged batch, or a method
+    outside the batchable families) -- the reference always walks serially
+    (tuna_energy.py:315-759).  Mean-field HF/UHF/DFT and (at zero base
+    field) restricted MP2/CC methods batch; the correlated energies are
+    added per field point inside field_energies_parallel."""
     import jax as _jax
     from .. import parallel
-    if (_jax.device_count() <= 1
-            or not parallel.mean_field_batchable(calculation, fields_free=False)):
+    batchable = (parallel.mean_field_batchable(calculation, fields_free=False)
+                 or parallel.mp2_scan_batchable(calculation, atomic_symbols)
+                 or parallel.cc_scan_batchable(calculation, atomic_symbols))
+    if _jax.device_count() <= 1 or not batchable:
         return None
     # the axis not being displaced keeps its user-applied base value
     n = len(fields) if fields is not None else len(gradients)

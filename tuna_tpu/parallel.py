@@ -319,9 +319,12 @@ def cc_scan_batchable(calculation, atomic_symbols):
             and _restricted_reference(calculation, atomic_symbols))
 
 
-def _batched_restricted_mp2(calculation, molecule, meta, mos, eps):
+def _batched_restricted_mp2(calculation, molecule, ERI_b, mos, eps,
+                            eri_axis=0):
     """Vmapped closed-form restricted MP2/SCS-MP2 correlation energies for a
-    batch of converged points (transform + energy in ONE jitted call)."""
+    batch of converged points (transform + energy in ONE jitted call).
+    eri_axis=None broadcasts a single AO tensor over the batch (one geometry,
+    many field points)."""
     from .post import mp as mp_mod
     from .post import transforms
 
@@ -331,8 +334,6 @@ def _batched_restricted_mp2(calculation, molecule, meta, mos, eps):
     do_scs = mp_mod._spin_component_scaling_active(calculation)
     ss = calculation.same_spin_scaling if do_scs else 1.0
     osc = calculation.opposite_spin_scaling if do_scs else 1.0
-    ERI_b = jnp.asarray(np.stack([np.asarray(m["integrals"].ERI_AO)
-                                  for m in meta]))
 
     def one(ERI, C, e):
         MO = transforms.ao_to_mo_chemists(ERI, C)
@@ -342,15 +343,17 @@ def _batched_restricted_mp2(calculation, molecule, meta, mos, eps):
             g_phys[o, o, v, v], e_ijab, molecule.n_doubly_occ)
         return osc * E_OS + ss * E_SS
 
-    return np.asarray(jax.jit(jax.vmap(one))(
-        ERI_b, jnp.asarray(mos), jnp.asarray(eps)))
+    return np.asarray(jax.jit(jax.vmap(one, in_axes=(eri_axis, 0, 0)))(
+        jnp.asarray(ERI_b), jnp.asarray(mos), jnp.asarray(eps)))
 
 
-def _batched_restricted_cc(calculation, molecule, meta, mos, eps):
+def _batched_restricted_cc(calculation, molecule, ERI_b, mos, eps,
+                           eri_axis=0):
     """Vmapped restricted CC/CI correlation energies for a batch of
     converged points: MO transform + MP2 guess + the full amplitude
     while_loop (+ perturbative (T)) in ONE jitted call.  Returns
-    (E_corr, solver_converged) arrays over the batch."""
+    (E_corr, solver_converged) arrays over the batch.  eri_axis=None
+    broadcasts a single AO tensor (one geometry, many field points)."""
     from .post import cc as cc_mod
     from .post import transforms
 
@@ -376,8 +379,6 @@ def _batched_restricted_cc(calculation, molecule, meta, mos, eps):
         use_ozaki=cc_mod.ozaki_appropriate(no, nv))
     solver_fn = cc_mod._build_cc_solver_fn(settings)
     dummy, d3_dummy = jnp.zeros((1, 1)), jnp.zeros((1,))
-    ERI_b = jnp.asarray(np.stack([np.asarray(m["integrals"].ERI_AO)
-                                  for m in meta]))
 
     def one(ERI, C, e):
         MO = transforms.ao_to_mo_chemists(ERI, C)
@@ -407,8 +408,8 @@ def _batched_restricted_cc(calculation, molecule, meta, mos, eps):
             E = E + E_T
         return E, conv & ~failed
 
-    E_corr, ok = jax.jit(jax.vmap(one))(ERI_b, jnp.asarray(mos),
-                                        jnp.asarray(eps))
+    E_corr, ok = jax.jit(jax.vmap(one, in_axes=(eri_axis, 0, 0)))(
+        jnp.asarray(ERI_b), jnp.asarray(mos), jnp.asarray(eps))
     return np.asarray(E_corr), np.asarray(ok)
 
 
@@ -423,14 +424,16 @@ def _solve_points_correlated(calculation, atomic_symbols, bond_lengths,
         (energies, converged, P, meta, mos, eps,
          molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
                                    mesh, return_orbitals=True)
+        ERI_b = np.stack([np.asarray(m["integrals"].ERI_AO) for m in meta])
         energies = energies + _batched_restricted_mp2(
-            calculation, molecule, meta, mos, eps)
+            calculation, molecule, ERI_b, mos, eps)
     elif cc_scan_batchable(calculation, atomic_symbols):
         (energies, converged, P, meta, mos, eps,
          molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
                                    mesh, return_orbitals=True)
+        ERI_b = np.stack([np.asarray(m["integrals"].ERI_AO) for m in meta])
         E_corr, cc_ok = _batched_restricted_cc(
-            calculation, molecule, meta, mos, eps)
+            calculation, molecule, ERI_b, mos, eps)
         energies = energies + E_corr
         converged = converged & cc_ok          # serial fallback if any failed
     else:
@@ -564,22 +567,44 @@ def field_energies_parallel(calculation, atomic_symbols, coordinates, fields,
     Xd = jnp.asarray(X)
     coords_dev = jnp.asarray(coords)
 
+    # Correlated finite-field stencils (MP2/CC polarisabilities etc.): the
+    # per-field-point orbitals feed the same vmapped correlation helpers the
+    # SCAN path uses, with the single AO tensor broadcast over the batch.
+    correlated = (mp2_scan_batchable(calculation, [a.symbol for a in molecule.atoms])
+                  or cc_scan_batchable(calculation, [a.symbol for a in molecule.atoms]))
+
     def solve_one(Fld_b, G_b):
-        n_steps, converged, E, P_a_out, P_b_out, _, _ = kernel(
+        n_steps, converged, E, P_a_out, P_b_out, _, outs = kernel(
             T, V, ERI, S, Xd, Fld_b, G_b, coords_dev, P_a, P_b, 0.0,
             calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
             conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
             static_damping, calculation.max_damping)
+        if correlated:
+            return E, converged, outs["mos_a"], outs["eps_a"]
         return E, converged
 
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, PartitionSpec(axis))
+    n_out = 4 if correlated else 2
     batched = jax.jit(jax.vmap(solve_one),
                       in_shardings=(shard, shard),
-                      out_shardings=(shard, shard))
-    energies, converged = batched(Fld, G)
-    return (np.asarray(energies)[:n_f] + V_NN,
-            np.asarray(converged)[:n_f])
+                      out_shardings=(shard,) * n_out)
+    out = batched(Fld, G)
+    energies, converged = np.asarray(out[0]), np.asarray(out[1])
+    if correlated:
+        mos, eps = np.asarray(out[2]), np.asarray(out[3])
+        if calculation.method.name in ("MP2", "SCS-MP2"):
+            energies = energies + _batched_restricted_mp2(
+                calculation, molecule, integrals.ERI_AO, mos, eps,
+                eri_axis=None)
+        else:
+            E_corr, cc_ok = _batched_restricted_cc(
+                calculation, molecule, integrals.ERI_AO, mos, eps,
+                eri_axis=None)
+            energies = energies + E_corr
+            converged = converged & cc_ok
+    return (energies[:n_f] + V_NN,
+            converged[:n_f])
 
 
 def scan_energies_parallel(calculation, atomic_symbols, bond_lengths,
