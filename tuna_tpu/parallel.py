@@ -207,7 +207,7 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
         # shard them.
         from .dft import make_xc_fn
         from .scf import make_scf_kernel_fn
-        xc_fn, needs_gradient = make_xc_fn(calculation)
+        xc_fn, _needs_gradient = make_xc_fn(calculation)
         have_grads = batch.get("GRADS") is not None
         n_grid = int(batch["W"].shape[1] * batch["W"].shape[2])
 
