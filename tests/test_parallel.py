@@ -169,6 +169,30 @@ def test_sharded_cc_scan_matches_serial(method, kw):
         assert abs(E_batch - E_serial) < 1e-8, (R, E_batch, E_serial)
 
 
+@pytest.mark.parametrize("method", ["HF", "MP2"])
+def test_sharded_cbs_scan_matches_serial(method):
+    """EXTRAPOLATE scans batch as two sharded basis passes plus the
+    per-point CBS formula (parallel.cbs_scan_points_parallel)."""
+    import jax
+    from tuna_tpu import parallel
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    ct, ms, basis, symbols, coords, params = parse_input(
+        f"SPE : H H 0.74 : {method} CC-PVDZ : EXTRAPOLATE TIGHTSCF")
+    cfg = Config(ct, process_method(ms), time.time(), params, basis, symbols,
+                 suppress_output=True)
+    assert parallel.cbs_scan_batchable(cfg, symbols)
+    R_batch = np.linspace(1.2, 1.9, 8)
+    energies, converged, _ = parallel.cbs_scan_points_parallel(
+        cfg, symbols, R_batch, parallel.device_mesh())
+    assert converged.all()
+    line = (f"SPE : H H {R_batch[0] * 0.529177210544:.12f} : "
+            f"{method} CC-PVDZ : EXTRAPOLATE TIGHTSCF")
+    E_serial = run(line, suppress_output=True)[2]
+    assert abs(energies[0] - E_serial) < 1e-8, (energies[0], E_serial)
+
+
 def test_scan_driver_takes_parallel_fast_path_dft():
     """The production SCAN driver routes pure/hybrid DFT scans through the
     sharded batch on a multi-device host and reproduces serial SPE energies."""

@@ -394,7 +394,9 @@ def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
                          or parallel.mp2_scan_batchable(calculation,
                                                         atomic_symbols)
                          or parallel.cc_scan_batchable(calculation,
-                                                       atomic_symbols))
+                                                       atomic_symbols)
+                         or parallel.cbs_scan_batchable(calculation,
+                                                        atomic_symbols))
                         and not calculation.dipole)
     if _jax.device_count() > 1 and plain_mean_field:
         bonds = []
@@ -407,7 +409,10 @@ def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
             b = nb
         log(f"Distributing {len(bonds)} scan points over "
             f"{_jax.device_count()} devices...", calculation, 1, silent=silent)
-        batch_E, batch_conv, batch_dip = parallel.scan_points_parallel(
+        scan_fn = (parallel.cbs_scan_points_parallel
+                   if getattr(calculation, "extrapolate", False)
+                   else parallel.scan_points_parallel)
+        batch_E, batch_conv, batch_dip = scan_fn(
             calculation, atomic_symbols, bonds)
         if batch_conv.all():
             bond_lengths = [float(bv) for bv in bonds]

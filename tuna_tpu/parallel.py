@@ -115,7 +115,8 @@ def _batched_inputs(calculation, atomic_symbols, bond_lengths):
                      "centre_of_mass": molecule.centre_of_mass,
                      "charges": molecule.charges,
                      "D": [np.asarray(Dc) for Dc in integrals.D],
-                     "integrals": integrals})
+                     "integrals": integrals,
+                     "E_disp": float(E_disp)})
     if is_dft and mats["GRADS"] and mats["GRADS"][0] is None:
         mats["GRADS"] = None
     stacked = {k: (jnp.asarray(np.stack(vs)) if vs is not None else None)
@@ -276,22 +277,23 @@ def _restricted_reference(calculation, atomic_symbols):
             and calculation.method.restricted_available)
 
 
-def _scan_common_ok(calculation):
+def _scan_common_ok(calculation, allow_extrapolate=False):
     return not (calculation.DFT_calculation
-                or getattr(calculation, "extrapolate", False)
+                or (getattr(calculation, "extrapolate", False)
+                    and not allow_extrapolate)
                 or getattr(calculation, "direct_scf", False)
                 or getattr(calculation, "read_checkpoint", False)
                 or np.any(calculation.electric_field)
                 or np.any(calculation.electric_field_gradient))
 
 
-def mp2_scan_batchable(calculation, atomic_symbols):
+def mp2_scan_batchable(calculation, atomic_symbols, allow_extrapolate=False):
     """Restricted closed-form MP2/SCS-MP2 scans ride the batch too: the
     batched SCF returns per-point orbitals and the correlation energy is a
     pure vmapped function of (ERI_AO, C, epsilons).  Iterative/orbital-
     optimised/Laplace variants and spin-orbital (UHF) MP2 stay serial."""
     return (calculation.method.name in ("MP2", "SCS-MP2")
-            and _scan_common_ok(calculation)
+            and _scan_common_ok(calculation, allow_extrapolate)
             and _restricted_reference(calculation, atomic_symbols))
 
 
@@ -309,13 +311,13 @@ def _cc_base_name(name):
     return name
 
 
-def cc_scan_batchable(calculation, atomic_symbols):
+def cc_scan_batchable(calculation, atomic_symbols, allow_extrapolate=False):
     """Restricted CC/CI scans (CCSD family incl. perturbative triples) ride
     the batch: per-point MO integrals and MP2 guess amplitudes feed one
     vmapped amplitude while_loop."""
     return (_cc_base_name(calculation.method.name) in _CC_SCAN_BASES
             and calculation.method.name not in ("CC2", "CC3")
-            and _scan_common_ok(calculation)
+            and _scan_common_ok(calculation, allow_extrapolate)
             and _restricted_reference(calculation, atomic_symbols))
 
 
@@ -413,6 +415,36 @@ def _batched_restricted_cc(calculation, molecule, ERI_b, mos, eps,
     return np.asarray(E_corr), np.asarray(ok)
 
 
+def _solve_points_components(calculation, atomic_symbols, bond_lengths,
+                             mesh: Mesh | None = None,
+                             allow_extrapolate=False):
+    """Batched solve returning the energy COMPONENTS per point:
+    (E_scf_total, E_corr, E_disp, converged, P_SCF, meta), where E_scf_total
+    = electronic + V_NN + dispersion and E_corr is zero for mean-field
+    methods.  The CBS scan needs the split; plain scans sum them."""
+    if mp2_scan_batchable(calculation, atomic_symbols, allow_extrapolate):
+        (energies, converged, P, meta, mos, eps,
+         molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
+                                   mesh, return_orbitals=True)
+        ERI_b = np.stack([np.asarray(m["integrals"].ERI_AO) for m in meta])
+        E_corr = _batched_restricted_mp2(
+            calculation, molecule, ERI_b, mos, eps)
+    elif cc_scan_batchable(calculation, atomic_symbols, allow_extrapolate):
+        (energies, converged, P, meta, mos, eps,
+         molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
+                                   mesh, return_orbitals=True)
+        ERI_b = np.stack([np.asarray(m["integrals"].ERI_AO) for m in meta])
+        E_corr, cc_ok = _batched_restricted_cc(
+            calculation, molecule, ERI_b, mos, eps)
+        converged = converged & cc_ok          # serial fallback if any failed
+    else:
+        energies, converged, P, meta = _solve_points(
+            calculation, atomic_symbols, bond_lengths, mesh)
+        E_corr = np.zeros(len(meta))
+    E_disp = np.array([m["E_disp"] for m in meta])
+    return energies, E_corr, E_disp, converged, P, meta
+
+
 def _solve_points_correlated(calculation, atomic_symbols, bond_lengths,
                              mesh: Mesh | None = None):
     """Batched solve with the correlated energy added when the method gates
@@ -420,26 +452,77 @@ def _solve_points_correlated(calculation, atomic_symbols, bond_lengths,
     mean-field otherwise.  Returns (total_energies, converged, P_SCF, meta)
     -- the densities are the SCF ones, so callers that feed densities
     downstream (dipole derivatives) must gate on mean_field_batchable."""
-    if mp2_scan_batchable(calculation, atomic_symbols):
-        (energies, converged, P, meta, mos, eps,
-         molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
-                                   mesh, return_orbitals=True)
-        ERI_b = np.stack([np.asarray(m["integrals"].ERI_AO) for m in meta])
-        energies = energies + _batched_restricted_mp2(
-            calculation, molecule, ERI_b, mos, eps)
-    elif cc_scan_batchable(calculation, atomic_symbols):
-        (energies, converged, P, meta, mos, eps,
-         molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
-                                   mesh, return_orbitals=True)
-        ERI_b = np.stack([np.asarray(m["integrals"].ERI_AO) for m in meta])
-        E_corr, cc_ok = _batched_restricted_cc(
-            calculation, molecule, ERI_b, mos, eps)
-        energies = energies + E_corr
-        converged = converged & cc_ok          # serial fallback if any failed
-    else:
-        energies, converged, P, meta = _solve_points(
-            calculation, atomic_symbols, bond_lengths, mesh)
-    return energies, converged, P, meta
+    energies, E_corr, _E_disp, converged, P, meta = _solve_points_components(
+        calculation, atomic_symbols, bond_lengths, mesh)
+    return energies + E_corr, converged, P, meta
+
+
+def cbs_scan_batchable(calculation, atomic_symbols):
+    """EXTRAPOLATE scans batch as two sharded passes (small + large basis)
+    plus the per-point two-point CBS formula.  Mean-field HF/UHF, DFT
+    without VV10/MPC, and restricted MP2/CC methods qualify."""
+    if not getattr(calculation, "extrapolate", False):
+        return False
+    from .drivers.energy import _NEXT_BASIS
+    if _NEXT_BASIS.get(calculation.basis.upper()) is None:
+        return False
+    if (getattr(calculation, "direct_scf", False)
+            or getattr(calculation, "read_checkpoint", False)
+            or getattr(calculation, "VV10", False)
+            or np.any(calculation.electric_field)
+            or np.any(calculation.electric_field_gradient)):
+        return False
+    name = calculation.method.name
+    plain = name in ("HF", "UHF")
+    dft = (calculation.DFT_calculation
+           and not getattr(calculation, "MPC_prop", 0))
+    corr = (mp2_scan_batchable(calculation, atomic_symbols,
+                               allow_extrapolate=True)
+            or cc_scan_batchable(calculation, atomic_symbols,
+                                 allow_extrapolate=True))
+    return plain or dft or corr
+
+
+def cbs_scan_points_parallel(calculation, atomic_symbols, bond_lengths,
+                             mesh: Mesh | None = None):
+    """CBS-extrapolated scan: both basis passes run as sharded batches and
+    the ORCA-compatible two-point formulas (drivers/common.
+    extrapolate_energies) combine them per point.  Mirrors the serial
+    calculate_extrapolated_energy (drivers/energy.py): SCF exponential +
+    correlation beta-power, dispersion added at the large basis; dipoles
+    come from the large-basis SCF densities."""
+    from .drivers import common as common_mod
+    from .drivers.energy import _NEXT_BASIS, _detect_zeta
+
+    small = calculation.basis.upper()
+    large = _NEXT_BASIS[small]
+    zeta = _detect_zeta(small)
+
+    E_s, C_s, D_s, conv_s, _P_s, _meta_s = _solve_points_components(
+        calculation, atomic_symbols, bond_lengths, mesh,
+        allow_extrapolate=True)
+    old_basis = calculation.basis
+    calculation.basis = large
+    try:
+        E_l, C_l, D_l, conv_l, P_l, meta_l = _solve_points_components(
+            calculation, atomic_symbols, bond_lengths, mesh,
+            allow_extrapolate=True)
+    finally:
+        calculation.basis = old_basis
+
+    totals = []
+    for i in range(len(bond_lengths)):
+        E_scf_cbs, E_corr_cbs = common_mod.extrapolate_energies(
+            small, E_s[i] - D_s[i], E_l[i] - D_l[i], C_s[i], C_l[i], zeta)
+        totals.append(E_scf_cbs + E_corr_cbs + D_l[i])
+
+    from . import props
+    dipoles = np.array([
+        props.calculate_analytical_dipole_moment(
+            m["centre_of_mass"], m["charges"], m["coordinates"], P_l[i],
+            m["D"])[0]
+        for i, m in enumerate(meta_l)])
+    return np.array(totals), np.asarray(conv_s) & np.asarray(conv_l), dipoles
 
 
 def scan_points_parallel(calculation, atomic_symbols, bond_lengths,
