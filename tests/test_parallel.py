@@ -169,6 +169,31 @@ def test_sharded_cc_scan_matches_serial(method, kw):
         assert abs(E_batch - E_serial) < 1e-8, (R, E_batch, E_serial)
 
 
+@pytest.mark.parametrize("method_basis", ["MP2 6-31G", "CCSD[T] STO-3G"])
+def test_sharded_uhf_correlated_scan_matches_serial(method_basis):
+    """Open-shell (UHF-reference) MP2/CC scans batch through the vmapped
+    spin-orbital pipeline (parallel._batched_unrestricted_corr)."""
+    import jax
+    from tuna_tpu import parallel
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    ct, ms, basis, symbols, coords, params = parse_input(
+        f"SPE : LI H 1.5 : {method_basis} : CH 1 ML 2 TIGHTSCF")
+    cfg = Config(ct, process_method(ms), time.time(), params, basis, symbols,
+                 suppress_output=True)
+    assert (parallel.ump2_scan_batchable(cfg, symbols)
+            or parallel.ucc_scan_batchable(cfg, symbols))
+    R_batch = np.linspace(2.8, 3.5, 8)
+    energies, converged, _ = parallel.scan_points_parallel(
+        cfg, symbols, R_batch, parallel.device_mesh())
+    assert converged.all()
+    line = (f"SPE : LI H {R_batch[0] * 0.529177210544:.12f} : "
+            f"{method_basis} : CH 1 ML 2 TIGHTSCF")
+    E_serial = run(line, suppress_output=True)[2]
+    assert abs(energies[0] - E_serial) < 1e-8, (energies[0], E_serial)
+
+
 @pytest.mark.parametrize("method", ["HF", "MP2"])
 def test_sharded_cbs_scan_matches_serial(method):
     """EXTRAPOLATE scans batch as two sharded basis passes plus the

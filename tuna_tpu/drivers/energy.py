@@ -395,6 +395,10 @@ def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
                                                         atomic_symbols)
                          or parallel.cc_scan_batchable(calculation,
                                                        atomic_symbols)
+                         or parallel.ump2_scan_batchable(calculation,
+                                                         atomic_symbols)
+                         or parallel.ucc_scan_batchable(calculation,
+                                                        atomic_symbols)
                          or parallel.cbs_scan_batchable(calculation,
                                                         atomic_symbols))
                         and not calculation.dipole)

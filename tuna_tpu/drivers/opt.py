@@ -79,7 +79,9 @@ def _batched_displaced_energies(coordinates, calculation, atomic_symbols,
     include_correlation = False
     if not batchable and energies_only:
         batchable = (parallel.mp2_scan_batchable(calculation, atomic_symbols)
-                     or parallel.cc_scan_batchable(calculation, atomic_symbols))
+                     or parallel.cc_scan_batchable(calculation, atomic_symbols)
+                     or parallel.ump2_scan_batchable(calculation, atomic_symbols)
+                     or parallel.ucc_scan_batchable(calculation, atomic_symbols))
         include_correlation = batchable
     if (_jax.device_count() <= 1 or not clean_diatomic or has_ghost
             or not batchable):

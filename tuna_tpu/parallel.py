@@ -193,7 +193,8 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
             conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
             static_damping, calculation.max_damping)
         if return_orbitals:
-            return E, converged, P_a + P_b, outs["mos_a"], outs["eps_a"]
+            return (E, converged, P_a + P_b, outs["mos_a"], outs["eps_a"],
+                    outs["mos_b"], outs["eps_b"])
         return E, converged, P_a + P_b
 
     axis = mesh.axis_names[0]
@@ -242,7 +243,7 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
         def solve_one(T, V, ERI, S, X, Pa, Pb):
             return kernel_call(kernel, T, V, ERI, S, X, Pa, Pb)
 
-        n_out = 5 if return_orbitals else 3
+        n_out = 7 if return_orbitals else 3
         batched = jax.jit(
             jax.vmap(solve_one),
             in_shardings=(shard_b,) * 7,
@@ -251,14 +252,13 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
                       batch["S"], batch["X"], batch["Pa"], batch["Pb"])
         energies, converged, P = out[:3]
         if return_orbitals:
-            mos, eps = out[3], out[4]
+            orbitals = out[3:7]
     energies = (np.asarray(energies) + np.asarray(batch["E_add"]))[:n_points]
     P = np.asarray(P)[:n_points]
     converged = np.asarray(converged)[:n_points]
     if return_orbitals:
-        return (energies, converged, P, meta[:n_points],
-                np.asarray(mos)[:n_points], np.asarray(eps)[:n_points],
-                molecule)
+        orbitals = tuple(np.asarray(x)[:n_points] for x in orbitals)
+        return (energies, converged, P, meta[:n_points], orbitals, molecule)
     return energies, converged, P, meta[:n_points]
 
 
@@ -422,21 +422,36 @@ def _solve_points_components(calculation, atomic_symbols, bond_lengths,
     (E_scf_total, E_corr, E_disp, converged, P_SCF, meta), where E_scf_total
     = electronic + V_NN + dispersion and E_corr is zero for mean-field
     methods.  The CBS scan needs the split; plain scans sum them."""
-    if mp2_scan_batchable(calculation, atomic_symbols, allow_extrapolate):
-        (energies, converged, P, meta, mos, eps,
+    restricted_corr = (mp2_scan_batchable(calculation, atomic_symbols,
+                                          allow_extrapolate)
+                       or cc_scan_batchable(calculation, atomic_symbols,
+                                            allow_extrapolate))
+    unrestricted_corr = (not restricted_corr
+                         and (ump2_scan_batchable(calculation, atomic_symbols,
+                                                  allow_extrapolate)
+                              or ucc_scan_batchable(calculation,
+                                                    atomic_symbols,
+                                                    allow_extrapolate)))
+    if restricted_corr:
+        (energies, converged, P, meta, orbitals,
          molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
                                    mesh, return_orbitals=True)
+        mos, eps = orbitals[0], orbitals[1]
         ERI_b = np.stack([np.asarray(m["integrals"].ERI_AO) for m in meta])
-        E_corr = _batched_restricted_mp2(
-            calculation, molecule, ERI_b, mos, eps)
-    elif cc_scan_batchable(calculation, atomic_symbols, allow_extrapolate):
-        (energies, converged, P, meta, mos, eps,
+        if calculation.method.name in ("MP2", "SCS-MP2"):
+            E_corr = _batched_restricted_mp2(
+                calculation, molecule, ERI_b, mos, eps)
+        else:
+            E_corr, cc_ok = _batched_restricted_cc(
+                calculation, molecule, ERI_b, mos, eps)
+            converged = converged & cc_ok      # serial fallback if any failed
+    elif unrestricted_corr:
+        (energies, converged, P, meta, orbitals,
          molecule) = _solve_points(calculation, atomic_symbols, bond_lengths,
                                    mesh, return_orbitals=True)
-        ERI_b = np.stack([np.asarray(m["integrals"].ERI_AO) for m in meta])
-        E_corr, cc_ok = _batched_restricted_cc(
-            calculation, molecule, ERI_b, mos, eps)
-        converged = converged & cc_ok          # serial fallback if any failed
+        E_corr, uok = _batched_unrestricted_corr(
+            calculation, molecule, meta, orbitals)
+        converged = converged & uok
     else:
         energies, converged, P, meta = _solve_points(
             calculation, atomic_symbols, bond_lengths, mesh)
@@ -455,6 +470,113 @@ def _solve_points_correlated(calculation, atomic_symbols, bond_lengths,
     energies, E_corr, _E_disp, converged, P, meta = _solve_points_components(
         calculation, atomic_symbols, bond_lengths, mesh)
     return energies + E_corr, converged, P, meta
+
+
+def ump2_scan_batchable(calculation, atomic_symbols, allow_extrapolate=False):
+    """Plain UHF-reference MP2 batches through the spin-orbital formula
+    E = 1/4 sum t*g (equal to the serial alpha/beta-split evaluation for
+    canonical orbitals).  SCS (needs the spin-pair split) and FREEZECORE
+    (the serial path splits frozen orbitals per spin, not per sorted
+    spin-orbital) stay serial."""
+    return (calculation.method.name == "MP2"
+            and not calculation.freeze_core
+            and _scan_common_ok(calculation, allow_extrapolate)
+            and not _restricted_reference(calculation, atomic_symbols))
+
+
+def ucc_scan_batchable(calculation, atomic_symbols, allow_extrapolate=False):
+    """UHF-reference CC/CI scans batch through the unrestricted spin-orbital
+    solver (same while_loop architecture as the restricted one)."""
+    return (_cc_base_name(calculation.method.name) in _CC_SCAN_BASES
+            and _scan_common_ok(calculation, allow_extrapolate)
+            and not _restricted_reference(calculation, atomic_symbols))
+
+
+def _batched_unrestricted_corr(calculation, molecule, meta, orbitals):
+    """Vmapped UHF-reference spin-orbital correlation energies for a batch
+    of converged points: spin-block + SO transform + (MP2 energy | the
+    unrestricted amplitude while_loop, + perturbative (T)) in ONE jitted
+    call.  Returns (E_corr, ok) arrays over the batch."""
+    from .post import cc as cc_mod
+    from .post import transforms
+
+    mos_a, eps_a, mos_b, eps_b = orbitals
+    name = calculation.method.name
+    base = _cc_base_name(name)
+    do_T = base != name and base in ("CCSD", "QCISD")
+    is_mp2 = name == "MP2"
+    s = (molecule.n_core_spin_orbitals if calculation.freeze_core else 0)
+    n_occ_so = molecule.n_occ
+    n_SO = int(np.asarray(mos_a).shape[-1]) * 2
+    o_full, v_full = slice(s, n_occ_so), slice(n_occ_so, None)
+    o0 = slice(0, n_occ_so)
+
+    solver_fn = None
+    if not is_mp2:
+        settings = cc_mod.CCSettings(
+            method=base, restricted=False,
+            update_singles=base not in cc_mod._NO_SINGLES,
+            keep_disconnected=base not in cc_mod._NO_DISCONNECTED,
+            n_occ=n_occ_so - s, n_virt=n_SO - n_occ_so,
+            max_iter=int(calculation.correlated_max_iter),
+            use_diis=bool(calculation.DIIS),
+            max_diis=int(calculation.max_DIIS_matrices),
+            damping=float(calculation.correlated_damping_parameter),
+            o_start=s,
+            use_ozaki=cc_mod.ozaki_appropriate(n_occ_so - s, n_SO - n_occ_so))
+        solver_fn = cc_mod._build_cc_solver_fn(settings)
+    dummy, d3_dummy = jnp.zeros((1, 1)), jnp.zeros((1,))
+    ERI_b = jnp.asarray(np.stack([np.asarray(m["integrals"].ERI_AO)
+                                  for m in meta]))
+    Hc_b = jnp.asarray(np.stack([np.asarray(m["integrals"].H_core)
+                                 for m in meta]))
+
+    def one(ERI, Hc, Ca, Cb, ea, eb):
+        eps_comb = jnp.concatenate([ea, eb])
+        order = jnp.argsort(eps_comb)
+        Z = jnp.zeros_like(Ca)
+        C = jnp.concatenate([jnp.concatenate([Ca, Z], axis=1),
+                             jnp.concatenate([Z, Cb], axis=1)],
+                            axis=0)[:, order]
+        ERI_SO = transforms.ao_to_so_physicists(
+            transforms.spin_block_eri(ERI), C, C)
+        g = transforms.antisymmetrise(ERI_SO)
+        eps_sorted = jnp.sort(eps_comb)
+        e_ijab = transforms.doubles_epsilons(eps_sorted, eps_sorted,
+                                             o_full, o_full, v_full, v_full)
+        t_ijab = g[o_full, o_full, v_full, v_full] * e_ijab
+        if is_mp2:
+            E = 0.25 * jnp.einsum("ijab,ijab->", t_ijab,
+                                  g[o_full, o_full, v_full, v_full],
+                                  optimize=True)
+            return E, jnp.asarray(True)
+
+        Hc_SO = C.T @ transforms.spin_block_matrix(Hc) @ C
+        F = transforms.spin_orbital_fock(Hc_SO, g, o0)
+        e_ia = transforms.singles_epsilons(eps_sorted, o_full, v_full)
+        t_ia = e_ia * F[o_full, v_full]
+        g_l, F_l = (g[s:, s:, s:, s:], F[s:, s:]) if s else (g, F)
+        (n_steps, conv, failed, E_CC, t1, t2, stats, parts) = solver_fn(
+            g_l, F_l, e_ia, e_ijab, t_ia, t_ijab, dummy, dummy, dummy,
+            d3_dummy, calculation.energy_convergence, calculation.amp_conv)
+        E = E_CC
+        if do_T:
+            e_ijkabc = transforms.triples_epsilons(eps_sorted, o_full, v_full)
+            E_T, t_c, t_d = cc_mod._unrestricted_T_tensors(
+                g[o_full, o_full, v_full, v_full],
+                g[v_full, o_full, v_full, v_full],
+                g[o_full, v_full, o_full, o_full], t1, t2, e_ijkabc)
+            if "QCISD" in base:
+                E_T = (1.0 / 36.0) * jnp.einsum(
+                    "ijkabc,ijkabc->", t_c / e_ijkabc, t_c + 2.0 * t_d,
+                    optimize=True)
+            E = E + E_T
+        return E, conv & ~failed
+
+    E_corr, ok = jax.jit(jax.vmap(one))(
+        ERI_b, Hc_b, jnp.asarray(mos_a), jnp.asarray(mos_b),
+        jnp.asarray(eps_a), jnp.asarray(eps_b))
+    return np.asarray(E_corr), np.asarray(ok)
 
 
 def cbs_scan_batchable(calculation, atomic_symbols):
@@ -479,7 +601,11 @@ def cbs_scan_batchable(calculation, atomic_symbols):
     corr = (mp2_scan_batchable(calculation, atomic_symbols,
                                allow_extrapolate=True)
             or cc_scan_batchable(calculation, atomic_symbols,
-                                 allow_extrapolate=True))
+                                 allow_extrapolate=True)
+            or ump2_scan_batchable(calculation, atomic_symbols,
+                                   allow_extrapolate=True)
+            or ucc_scan_batchable(calculation, atomic_symbols,
+                                  allow_extrapolate=True))
     return plain or dft or corr
 
 
