@@ -105,6 +105,8 @@ def test_sharded_scan_includes_dispersion():
     ("MP2", "TIGHTSCF"),
     ("SCS-MP2", "TIGHTSCF"),
     ("MP2", "TIGHTSCF FREEZECORE"),
+    ("MP3", "TIGHTSCF"),
+    ("MP4", "TIGHTSCF"),
 ])
 def test_sharded_mp2_scan_matches_serial(method, kw):
     """Restricted MP2/SCS-MP2 scans ride the batch: the batched SCF returns

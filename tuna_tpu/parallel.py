@@ -287,13 +287,23 @@ def _scan_common_ok(calculation, allow_extrapolate=False):
                 or np.any(calculation.electric_field_gradient))
 
 
+_MPN_SCAN_METHODS = ("MP2", "SCS-MP2", "MP3", "SCS-MP3",
+                     "MP4", "MP4[SDTQ]", "MP4(SDTQ)", "MP4[SDQ]", "MP4(SDQ)",
+                     "MP4[DQ]", "MP4(DQ)")
+
+
 def mp2_scan_batchable(calculation, atomic_symbols, allow_extrapolate=False):
-    """Restricted closed-form MP2/SCS-MP2 scans ride the batch too: the
-    batched SCF returns per-point orbitals and the correlation energy is a
-    pure vmapped function of (ERI_AO, C, epsilons).  Iterative/orbital-
-    optimised/Laplace variants and spin-orbital (UHF) MP2 stay serial."""
-    return (calculation.method.name in ("MP2", "SCS-MP2")
-            and _scan_common_ok(calculation, allow_extrapolate)
+    """Restricted closed-form MPn scans ride the batch too: the batched SCF
+    returns per-point orbitals and the MP2/MP3/MP4 energies are pure vmapped
+    functions of (ERI_AO, C, epsilons).  Iterative/orbital-optimised/Laplace
+    variants and spin-orbital (UHF) MPn stay serial; MP3/MP4 with FREEZECORE
+    stay serial (the serial cores assume an unfrozen occupied block)."""
+    name = calculation.method.name
+    if name not in _MPN_SCAN_METHODS:
+        return False
+    if name not in ("MP2", "SCS-MP2") and calculation.freeze_core:
+        return False
+    return (_scan_common_ok(calculation, allow_extrapolate)
             and _restricted_reference(calculation, atomic_symbols))
 
 
@@ -337,13 +347,31 @@ def _batched_restricted_mp2(calculation, molecule, ERI_b, mos, eps,
     ss = calculation.same_spin_scaling if do_scs else 1.0
     osc = calculation.opposite_spin_scaling if do_scs else 1.0
 
+    name = calculation.method.name
+    base = calculation.method.method_base      # "MP2" | "MP3" | "MP4"
+    n_occ = molecule.n_doubly_occ
+
     def one(ERI, C, e):
         MO = transforms.ao_to_mo_chemists(ERI, C)
         g_phys = transforms.chemists_to_physicists(MO)
         e_ijab = transforms.doubles_epsilons(e, e, o, o, v, v)
         E_OS, E_SS, *_ = mp_mod._restricted_mp2_core(
-            g_phys[o, o, v, v], e_ijab, molecule.n_doubly_occ)
-        return osc * E_OS + ss * E_SS
+            g_phys[o, o, v, v], e_ijab, n_occ)
+        E = osc * E_OS + ss * E_SS
+        if base in ("MP3", "MP4"):
+            # The MP3/MP4 cores consume the CHEMISTS' MO tensor and slice
+            # the (unfrozen) occupied block themselves.
+            E_MP3, e_ijab3, t_ijab, t_dash, L = mp_mod._restricted_mp3_core(
+                MO, e_ijab, n_occ)
+            E = E + (calculation.MP3_scaling if name == "SCS-MP3" else 1.0) * E_MP3
+            if base == "MP4":
+                with_singles = name not in ("MP4[DQ]", "MP4(DQ)")
+                with_triples = name in ("MP4", "MP4[SDTQ]", "MP4(SDTQ)")
+                E_S, E_D, E_T, E_Q = mp_mod._restricted_mp4_core(
+                    MO, e_ijab3, t_ijab, t_dash, L, e, n_occ,
+                    with_singles, with_triples)
+                E = E + E_S + E_D + E_T + E_Q
+        return E
 
     return np.asarray(jax.jit(jax.vmap(one, in_axes=(eri_axis, 0, 0)))(
         jnp.asarray(ERI_b), jnp.asarray(mos), jnp.asarray(eps)))
@@ -438,7 +466,7 @@ def _solve_points_components(calculation, atomic_symbols, bond_lengths,
                                    mesh, return_orbitals=True)
         mos, eps = orbitals[0], orbitals[1]
         ERI_b = np.stack([np.asarray(m["integrals"].ERI_AO) for m in meta])
-        if calculation.method.name in ("MP2", "SCS-MP2"):
+        if mp2_scan_batchable(calculation, atomic_symbols, allow_extrapolate):
             E_corr = _batched_restricted_mp2(
                 calculation, molecule, ERI_b, mos, eps)
         else:
@@ -802,7 +830,7 @@ def field_energies_parallel(calculation, atomic_symbols, coordinates, fields,
     energies, converged = np.asarray(out[0]), np.asarray(out[1])
     if correlated:
         mos, eps = np.asarray(out[2]), np.asarray(out[3])
-        if calculation.method.name in ("MP2", "SCS-MP2"):
+        if calculation.method.name in _MPN_SCAN_METHODS:
             energies = energies + _batched_restricted_mp2(
                 calculation, molecule, integrals.ERI_AO, mos, eps,
                 eri_axis=None)
