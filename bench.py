@@ -172,7 +172,12 @@ def measure_ours(config=CONFIG, label="headline"):
         use_ozaki=ozaki_appropriate(
             o.stop - (o.start or 0), int(t2_0.shape[-1])))
     solver = get_cc_solver(settings)
-    production_solver = get_production_solver(settings)
+    # The SHIPPED solve differs by backend (post/cc.py production gate): the
+    # f32-warm + Newton-Krylov path exists to dodge emulated-f64 per-op cost
+    # on accelerators; on the CPU backend native f64 is fast and the shipped
+    # path is the plain f64 while_loop -- time what a user actually gets.
+    on_cpu = jax.default_backend() == "cpu"
+    production_solver = None if on_cpu else get_production_solver(settings)
     dummy, d3 = jnp.zeros((1, 1)), jnp.zeros((1,))
 
     # Every scalar device->host fetch through the axon tunnel costs its own
@@ -180,20 +185,33 @@ def measure_ours(config=CONFIG, label="headline"):
     # fetch 23.6 ms, call+2 fetches 44.3 ms), so the solve's counters are
     # packed into ONE fetched array -- one synchronising round trip, which
     # is what a real client of the solve would pay.
-    @jax.jit
-    def _production_packed(t2s):
-        out = production_solver(g, F, d1, d2, t1_0, t2s, dummy, dummy, dummy,
-                                d3, cfg.energy_convergence, cfg.amp_conv)
-        meta = jnp.stack([out[0].astype(jnp.float64),
-                          out[3].astype(jnp.float64),
-                          out[4].astype(jnp.float64)])
-        return meta, out
+    if on_cpu:
+        def production(t2s):
+            """The shipped CPU solve: the pure-f64 while_loop."""
+            out = solver(g, F, d1, d2, t1_0, t2s, dummy, dummy, dummy, d3,
+                         cfg.energy_convergence, cfg.amp_conv)
+            n_iter = int(out[0])
+            conv = bool(out[1]) and not bool(out[2])
+            # match the production tuple layout consumed below:
+            # (.., E_corr at index 6 -> out[3] here is E)
+            return 0, n_iter, conv, (None, None, None, None, None, None,
+                                     out[3])
+    else:
+        @jax.jit
+        def _production_packed(t2s):
+            out = production_solver(g, F, d1, d2, t1_0, t2s, dummy, dummy,
+                                    dummy, d3, cfg.energy_convergence,
+                                    cfg.amp_conv)
+            meta = jnp.stack([out[0].astype(jnp.float64),
+                              out[3].astype(jnp.float64),
+                              out[4].astype(jnp.float64)])
+            return meta, out
 
-    def production(t2s):
-        """The shipped solve, ONE device call + ONE synchronising fetch."""
-        meta, out = _production_packed(t2s)
-        meta = np.asarray(meta)
-        return int(meta[0]), int(meta[1]), bool(meta[2]), out
+        def production(t2s):
+            """The shipped solve, ONE device call + ONE synchronising fetch."""
+            meta, out = _production_packed(t2s)
+            meta = np.asarray(meta)
+            return int(meta[0]), int(meta[1]), bool(meta[2]), out
 
     nw, nn, conv, out = production(t2_0)  # compile + converge once
     if not conv:
@@ -236,7 +254,9 @@ def measure_ours(config=CONFIG, label="headline"):
     E_total = float(SCF_output.energy) + E_corr
     return {"wall_ours": wall_ours, "per_iter_f64_ours": per_iter_f64,
             "n_warm_f32": nw, "n_newton": nn, "n_iter_f64": n64,
-            "E_total": E_total}
+            "E_total": E_total,
+            "solver": ("f64_while_loop" if on_cpu
+                       else "f32_warm+newton_krylov")}
 
 
 # ---------------------------------------------------------------------------
@@ -346,6 +366,7 @@ def main():
         "per_iter_f64_ours_ms": round(ours["per_iter_f64_ours"] * 1e3, 3),
         "per_iter_ref_ms": round(ref["per_iter_ref"] * 1e3, 3),
         "speedup_per_iter_f64": round(speedup_iter, 3),
+        "solver": ours["solver"],
         "n_warm_f32": ours["n_warm_f32"],
         "n_newton": ours["n_newton"],
         "n_iter_f64_ours": ours["n_iter_f64"],
