@@ -47,6 +47,25 @@ def test_batched_matches_f64_einsum(spec, shapes):
     _check(spec, shapes)
 
 
+def test_under_vmap_matches_f64():
+    """ozaki.einsum inside a vmapped function (the batched CC scans route
+    their per-point f64 contractions through it on accelerator meshes):
+    vmap traces per-element shapes, so the slice planning must behave as in
+    the unbatched case and the results must match a vmapped f64 einsum."""
+    import jax
+
+    A = jnp.asarray(RNG.randn(5, 7, 19))
+    B = jnp.asarray(RNG.randn(5, 19, 11))
+
+    def one(a, b):
+        return ozaki.einsum("ik,kj->ij", a, b)
+
+    got = np.asarray(jax.vmap(one)(A, B))
+    want = np.asarray(jnp.einsum("gik,gkj->gij", A, B, optimize=True))
+    denom = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / denom < 1e-11
+
+
 def test_wide_dynamic_range():
     """Elements spanning ten orders of magnitude stay accurate in absolute
     terms (the fixed-point scheme is exact relative to the global scale)."""
