@@ -77,9 +77,11 @@ def main():
     B = _restricted_blocks(g, o, v)
     F_ov = F[o, v]
     r = jnp.concatenate([t1.ravel(), t2.ravel()]) * 1e-5
-    err_buf = jnp.stack([r * (k + 1) for k in range(M)])
-    a1_buf = jnp.stack([t1 * (1 + 1e-6 * k) for k in range(M)])
-    a2_buf = jnp.stack([t2 * (1 + 1e-6 * k) for k in range(M)])
+    # The production body keeps the DIIS error ring in f32 and the
+    # amplitudes in ONE flat f64 ring (post/cc.py body)
+    err_buf = jnp.stack([r * (k + 1) for k in range(M)]).astype(jnp.float32)
+    amp_flat = jnp.concatenate([t1.ravel(), t2.ravel()])
+    amp_buf = jnp.stack([amp_flat * (1 + 1e-6 * k) for k in range(M)])
     coeffs = jnp.full((M,), 1.0 / M, dtype=t2.dtype)
 
     def noop():
@@ -112,31 +114,32 @@ def main():
     def ring_pushes():
         def run(seed):
             def body(i, carry):
-                acc, b1, b2, be = carry
-                b1, _ = _push_ring(b1, t1 * acc, jnp.asarray(M), M)
-                b2, _ = _push_ring(b2, t2 * acc, jnp.asarray(M), M)
-                be, _ = _push_ring(be, r * acc, jnp.asarray(M), M)
-                return acc + 1e-12 * b1[0, 0, 0], b1, b2, be
+                acc, ba, be = carry
+                ba, _ = _push_ring(ba, amp_flat * acc, jnp.asarray(M), M)
+                be, _ = _push_ring(
+                    be, (r * acc).astype(jnp.float32), jnp.asarray(M), M)
+                return acc + 1e-12 * ba[0, 0], ba, be
             return jax.lax.fori_loop(
-                0, N_REPS, body, (seed, a1_buf, a2_buf, err_buf))[0]
+                0, N_REPS, body, (seed, amp_buf, err_buf))[0]
         return run
 
     def extrapolate():
         def run(seed):
             def body(i, carry):
                 acc, c = carry
-                t1x = jnp.einsum("m,m...->...", c, a1_buf)
-                t2x = jnp.einsum("m,m...->...", c, a2_buf)
-                s = t1x[0, 0] + t2x[0, 0, 0, 0]
+                tx = jnp.einsum("m,ml->l", c, amp_buf)
+                s = tx[0] + tx[-1]
                 return acc + s, c * (1.0 + 1e-12 * s)
             return jax.lax.fori_loop(0, N_REPS, body, (seed, coeffs))[0]
         return run
 
     def norms():
+        # production body: f64 subtraction, then f32 convert + f32 norms
         def run(seed):
             def body(i, carry):
                 acc, rc = carry
-                n2 = jnp.linalg.norm(rc)
+                r32 = (rc * 1.0000001).astype(jnp.float32)
+                n2 = jnp.linalg.norm(r32)
                 ok = (n2 < 1e-8) & jnp.all(jnp.isfinite(rc))
                 return acc + jnp.where(ok, 1.0, 2.0) * n2, rc * (1 + 1e-12 * n2)
             return jax.lax.fori_loop(0, N_REPS, body, (seed, r))[0]

@@ -8,6 +8,7 @@ Capability parity with /root/reference/TUNA/tuna_kernel.py (driver pieces).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import constants
@@ -93,23 +94,35 @@ def apply_electric_field_gradient(Q, electric_field_gradient):
     return jnp.einsum("i,ijk->jk", jnp.asarray(electric_field_gradient), Q_stack)
 
 
+@jax.jit
+def _spherical_one_electron(U, S, T, V_NE, D, Q):
+    return (U @ S @ U.T, U @ T @ U.T, U @ V_NE @ U.T,
+            jnp.einsum("mw,awx,nx->amn", U, D, U),
+            jnp.einsum("mw,awx,nx->amn", U, Q, U))
+
+
+@jax.jit
+def _spherical_eri(U, ERI):
+    for _ in range(4):
+        ERI = jnp.moveaxis(jnp.tensordot(U, ERI, axes=(1, 0)), 0, 3)
+    return ERI
+
+
 def transform_to_spherical_harmonics(S, T, V_NE, D, Q, ERI, molecule, calculation,
                                      silent):
-    """U M U^T for one-electron, four dot_general sweeps for the ERI tensor."""
+    """U M U^T for one-electron, four dot_general sweeps for the ERI tensor.
+
+    Jitted into two compiled calls (one-electron bundle + ERI sweep): each
+    eager op through the remote-TPU tunnel is a ~25 ms round trip."""
     if calculation.cartesian_harmonics:
         return S, T, V_NE, D, Q, ERI
     timer("Spherical harmonic transformation", 0)
     log("\n Transforming to spherical harmonics...    ", calculation, 1, end="",
         silent=silent)
     U = jnp.asarray(molecule.spherical_transformation)
-    S = U @ S @ U.T
-    T = U @ T @ U.T
-    V_NE = U @ V_NE @ U.T
-    D = jnp.einsum("mw,awx,nx->amn", U, D, U)
-    Q = jnp.einsum("mw,awx,nx->amn", U, Q, U)
+    S, T, V_NE, D, Q = _spherical_one_electron(U, S, T, V_NE, D, Q)
     if ERI is not None:
-        for _ in range(4):
-            ERI = jnp.moveaxis(jnp.tensordot(U, ERI, axes=(1, 0)), 0, 3)
+        ERI = _spherical_eri(U, ERI)
     log("[Done]\n", calculation, 1, silent=silent)
     timer("Spherical harmonic transformation", 1)
     return S, T, V_NE, D, Q, ERI

@@ -658,8 +658,18 @@ class IntegralPlan:
 def cross_overlap(basis_functions_1, basis_functions_2) -> np.ndarray:
     """Overlap matrix between two basis sets (host-side, used for guesses).
 
-    Mirrors tuna_integral.pyx:626-768; small enough to run eagerly.
+    Mirrors tuna_integral.pyx:626-768.  Runs eagerly ON THE HOST CPU
+    device: the E-table recursion unrolls to several hundred small eager
+    ops, and through the remote-TPU tunnel each eager dispatch costs a
+    ~25 ms round trip (~16 s total, measured by tools/count_dispatches.py)
+    for a guess-stage quantity that host eager execution finishes in
+    milliseconds.
     """
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return _cross_overlap_eager(basis_functions_1, basis_functions_2)
+
+
+def _cross_overlap_eager(basis_functions_1, basis_functions_2) -> np.ndarray:
     lmax1 = max(bf.l_total for bf in basis_functions_1)
     lmax2 = max(bf.l_total for bf in basis_functions_2)
 

@@ -10,6 +10,8 @@ iterations.  All routines are jit-safe and differentiable.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -132,10 +134,15 @@ def solve_linear_small_refined(A: jnp.ndarray, b: jnp.ndarray,
         M = M.at[k].set(row_k)
     # M[:, n:] inverts the row-equilibrated matrix D^-1 A, so A^-1 = that
     # inverse times D^-1 applied on the right (columns scaled by 1/r).
-    Ainv = (M[:, n:] * (1.0 / r)[None, :]).astype(A.dtype)
-    x = Ainv @ b
+    # The inverse stays in f32: classical iterative refinement only needs
+    # the RESIDUAL in high precision -- the correction solve contracts the
+    # error by ~kappa*eps_f32 per step either way, so an f64 Ainv matvec
+    # (emulated, ~40 us/op on TPU) buys nothing over the f32 one.
+    Ainv32 = M[:, n:] * (1.0 / r)[None, :]
+    x = (Ainv32 @ b.astype(jnp.float32)).astype(A.dtype)
     for _ in range(steps):
-        x = x + Ainv @ (b - A @ x)
+        res = b - A @ x
+        x = x + (Ainv32 @ res.astype(jnp.float32)).astype(A.dtype)
     residual = jnp.linalg.norm(A @ x - b)
     ok = jnp.isfinite(residual) & (residual < 1e-8 * (1.0 + jnp.linalg.norm(b)))
     return x, ok
@@ -157,9 +164,14 @@ def expm_skew(K: jnp.ndarray):
     return cos_term + K @ ((V * sinc) @ V.T)
 
 
+@partial(jax.jit, static_argnames=("ns_steps",))
 def inverse_sqrt(S: jnp.ndarray, eigenvalues: jnp.ndarray | None = None,
                  ns_steps: int = _NS_STEPS):
     """Orthogonalising X ~ S^-1/2 for SPD S via eigh seed + constraint polish.
+
+    Jitted: callers invoke it eagerly from the host-level pipeline, and one
+    compiled call costs one tunnel round trip where the unrolled polish loop
+    would cost ~10 (tools/count_dispatches.py).
 
     The eigh seed on TPU carries ~1e-7..1e-5 eigenvector noise (worse with
     basis-set condition number).  Newton-Schulz variants cannot repair it:

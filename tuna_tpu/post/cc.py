@@ -896,57 +896,74 @@ def _build_cc_solver_fn(settings: CCSettings):
                "o": slice(settings.o_start, settings.o_start + no),
                "v": slice(settings.o_start + no, None)}
 
-        def apply_update(t1, t2):
-            # f64 contractions route through ops.ozaki slice matmuls when
-            # enabled (trace-time redirect; ozaki falls back for f32 inputs,
-            # so the same builder serves the f32 warm phase).
+        def apply_update_energy(t1, t2):
+            # f64 contractions (update AND energy) route through ops.ozaki
+            # slice matmuls when enabled (trace-time redirect; ozaki falls
+            # back for f32 inputs, so the same builder serves the f32 warm
+            # phase).
             token = (_EINSUM_IMPL.set(ozaki.einsum) if settings.use_ozaki
                      else None)
             try:
                 if restricted:
-                    return update(B, F[o, v], d1, d2, t1, t2, aux)
-                return update(B, F, o, v, d1, d2, t1, t2, aux)
+                    t1n, t2n = update(B, F[o, v], d1, d2, t1, t2, aux)
+                else:
+                    t1n, t2n = update(B, F, o, v, d1, d2, t1, t2, aux)
+                return t1n, t2n, energy_fn(t1=t1n, t2=t2n)[0]
             finally:
                 if token is not None:
                     _EINSUM_IMPL.reset(token)
 
+        n1 = t1_0.size
+
         def body(carry):
-            (step, E, t1, t2, a1_buf, a2_buf, err_buf, n_valid, conv, failed,
+            # Op-count discipline (each emulated-f64 op costs ~40 us on TPU,
+            # PERF.md): amplitudes ride ONE flat ring (one push + one
+            # extrapolation matvec instead of two of each), the DIIS error
+            # ring, Gram matrix and bordered solve run entirely in f32
+            # (coefficient error only multiplies the residual-sized SPREAD
+            # of the stored amplitudes; see _diis_coefficients), and the
+            # convergence norms are f32 (threshold compares tolerate 1e-7
+            # relative error).  The residual subtraction itself stays f64 --
+            # late-iteration differences are ~1e-9 of the amplitudes, far
+            # below f32 resolution of the operands.
+            (step, E, t1, t2, amp_buf, err_buf, n_valid, conv, failed,
              stats) = carry
 
-            t1n, t2n = apply_update(t1, t2)
-            En = energy_fn(t1=t1n, t2=t2n)[0]
+            t1n, t2n, En = apply_update_energy(t1, t2)
             dE = En - E
 
-            r1 = (t1n - t1).ravel()
-            r2 = (t2n - t2).ravel()
-            amp_ok = jnp.linalg.norm(r2) < amp_conv
+            tn_flat = jnp.concatenate([t1n.ravel(), t2n.ravel()])
+            t_flat = jnp.concatenate([t1.ravel(), t2.ravel()])
+            r32 = (tn_flat - t_flat).astype(jnp.float32)
+            amp_ok = jnp.linalg.norm(r32[n1:]) < amp_conv
             if settings.update_singles:
-                amp_ok = amp_ok & (jnp.linalg.norm(r1) < amp_conv)
+                amp_ok = amp_ok & (jnp.linalg.norm(r32[:n1]) < amp_conv)
             is_conv = (jnp.abs(dE) < energy_conv) & amp_ok
             is_failed = (~jnp.all(jnp.isfinite(t2n))) | (En > 1000.0)
 
-            a1_buf2, _ = _push_ring(a1_buf, t1n, n_valid, M)
-            a2_buf2, _ = _push_ring(a2_buf, t2n, n_valid, M)
-            err_buf2, n_valid2 = _push_ring(
-                err_buf, jnp.concatenate([r1, r2]), n_valid, M)
+            amp_buf2, _ = _push_ring(amp_buf, tn_flat, n_valid, M)
+            err_buf2, n_valid2 = _push_ring(err_buf, r32, n_valid, M)
 
-            t1x, t2x = t1n, t2n
+            tx = tn_flat
             if settings.use_diis:
                 ok, coeffs = _diis_coefficients(err_buf2, n_valid2, M)
                 use = (step > 2) & ok & ~is_conv
-                t1x = jnp.where(use, jnp.einsum("m,m...->...", coeffs, a1_buf2), t1n)
-                t2x = jnp.where(use, jnp.einsum("m,m...->...", coeffs, a2_buf2), t2n)
+                tx = jnp.where(use,
+                               jnp.einsum("m,ml->l", coeffs.astype(dtype),
+                                          amp_buf2),
+                               tn_flat)
                 n_valid2 = jnp.where((step > 2) & ~ok, 0, n_valid2)
 
             if settings.damping != 0.0:
                 f = settings.damping
-                t1x = jnp.where(is_conv, t1x, f * t1 + (1.0 - f) * t1x)
-                t2x = jnp.where(is_conv, t2x, f * t2 + (1.0 - f) * t2x)
+                tx = jnp.where(is_conv, tx, f * t_flat + (1.0 - f) * tx)
+
+            t1x = tx[:n1].reshape(t1_0.shape)
+            t2x = tx[n1:].reshape(t2_0.shape)
 
             # Shift-down history (static-index write; see _push_ring)
             stats = jnp.roll(stats, -1, axis=0).at[-1].set(jnp.stack([En, dE]))
-            return (step + 1, En, t1x, t2x, a1_buf2, a2_buf2, err_buf2,
+            return (step + 1, En, t1x, t2x, amp_buf2, err_buf2,
                     n_valid2, is_conv, is_failed, stats)
 
         def cond(carry):
@@ -954,9 +971,8 @@ def _build_cc_solver_fn(settings: CCSettings):
             return (step <= settings.max_iter) & ~conv & ~failed
 
         carry0 = (jnp.asarray(1), jnp.asarray(0.0, dtype=dtype), t1_0, t2_0,
-                  jnp.zeros((M,) + t1_0.shape, dtype=dtype),
-                  jnp.zeros((M,) + t2_0.shape, dtype=dtype),
                   jnp.zeros((M, t1_0.size + t2_0.size), dtype=dtype),
+                  jnp.zeros((M, t1_0.size + t2_0.size), dtype=jnp.float32),
                   jnp.asarray(0), jnp.asarray(False), jnp.asarray(False),
                   jnp.zeros((settings.max_iter, 2), dtype=dtype))
 
@@ -1133,17 +1149,18 @@ def _build_newton_fn(settings: CCSettings):
             # exact bf16 slice matmuls on the MXU instead of ~40 us/op
             # emulated-f64 dots (the ContextVar redirect happens at trace
             # time, so the jitted executable bakes the choice in).
-            if settings.use_ozaki:
-                token = _EINSUM_IMPL.set(ozaki.einsum)
-                try:
-                    p1, p2 = phi(B64, F, d1, d2, t1, t2, aux64)
-                finally:
-                    _EINSUM_IMPL.reset(token)
-            else:
+            # The f64 energy and its jvp certification (below) ride the same
+            # redirect: their "ijab,ijab->" contractions are K=o^2v^2 dots
+            # that ozaki turns into slice matmuls.
+            token = _EINSUM_IMPL.set(ozaki.einsum) if settings.use_ozaki else None
+            try:
                 p1, p2 = phi(B64, F, d1, d2, t1, t2, aux64)
-            r1 = p1 - t1
-            r2 = p2 - t2
-            En = energy_fn(t1=t1, t2=t2)[0]
+                r1 = p1 - t1
+                r2 = p2 - t2
+                En = energy_fn(t1=t1, t2=t2)[0]
+            finally:
+                if token is not None:
+                    _EINSUM_IMPL.reset(token)
             dE = En - E
 
             r_norm = jnp.linalg.norm(r2.ravel())
@@ -1580,35 +1597,52 @@ def restricted_CCSDT_Q(g, e_ijklabcd, t_ijab, t_ijkabc, o, v, calculation, silen
 # Post-processing
 # ---------------------------------------------------------------------------
 
-def linearised_density(t_ia, t_ijab, n_orbitals, n_occ, o, v, calculation,
-                       molecular_orbitals, silent):
-    log("\n  Constructing linearised density...    ", calculation, 1, end="", silent=silent)
+@partial(jax.jit,
+         static_argnames=("n_orbitals", "n_occ", "o_start", "o_stop", "rhf"))
+def _linearised_density_mo(t_ia, t_ijab, n_orbitals, n_occ, o_start, o_stop,
+                           rhf):
+    # o/v address the CORRELATED window of the full orbital space (o_start
+    # is nonzero under FREEZECORE); P_ref fills every occupied orbital.
+    o, v = slice(o_start, o_stop), slice(o_stop, None)
     P_CC = jnp.zeros((n_orbitals, n_orbitals))
-
-    if calculation.reference == "RHF":
+    if rhf:
         u_ijab = _u_of(t_ijab)
-        P_CC = P_CC.at[v, v].add(jnp.einsum("ijbc,ijac->ab", t_ijab, u_ijab, optimize=True))
-        P_CC = P_CC.at[o, o].add(-jnp.einsum("ikab,jkab->ij", t_ijab, u_ijab, optimize=True))
-        P_CC = P_CC.at[o, v].add(t_ia + jnp.einsum("ijab,jb->ia", u_ijab, t_ia, optimize=True))
+        P_CC = P_CC.at[v, v].add(jnp.einsum("ijbc,ijac->ab", t_ijab, u_ijab))
+        P_CC = P_CC.at[o, o].add(-jnp.einsum("ikab,jkab->ij", t_ijab, u_ijab))
+        P_CC = P_CC.at[o, v].add(t_ia + jnp.einsum("ijab,jb->ia", u_ijab, t_ia))
     else:
-        P_CC = P_CC.at[v, v].add(0.5 * jnp.einsum("ijbc,ijac->ab", t_ijab, t_ijab, optimize=True))
-        P_CC = P_CC.at[o, o].add(-0.5 * jnp.einsum("ikab,jkab->ij", t_ijab, t_ijab, optimize=True))
-        P_CC = P_CC.at[o, v].add(t_ia + jnp.einsum("ijab,jb->ia", t_ijab, t_ia, optimize=True))
+        P_CC = P_CC.at[v, v].add(0.5 * jnp.einsum("ijbc,ijac->ab", t_ijab, t_ijab))
+        P_CC = P_CC.at[o, o].add(-0.5 * jnp.einsum("ikab,jkab->ij", t_ijab, t_ijab))
+        P_CC = P_CC.at[o, v].add(t_ia + jnp.einsum("ijab,jb->ia", t_ijab, t_ia))
 
     P_CC = P_CC.at[v, o].set(P_CC[o, v].T)
-    P_CC = P_CC.at[v, v].add(jnp.einsum("ia,ib->ab", t_ia, t_ia, optimize=True))
-    P_CC = P_CC.at[o, o].add(-jnp.einsum("ia,ja->ij", t_ia, t_ia, optimize=True))
+    P_CC = P_CC.at[v, v].add(jnp.einsum("ia,ib->ab", t_ia, t_ia))
+    P_CC = P_CC.at[o, o].add(-jnp.einsum("ia,ja->ij", t_ia, t_ia))
 
     P_ref = jnp.zeros((n_orbitals, n_orbitals)).at[:n_occ, :n_occ].set(jnp.eye(n_occ))
-    P = P_ref + P_CC
+    return P_ref + P_CC
+
+
+@jax.jit
+def _density_mo_to_ao_rhf(P, C):
+    P = 2 * P
+    return C @ P @ C.T
+
+
+def linearised_density(t_ia, t_ijab, n_orbitals, n_occ, o, v, calculation,
+                       molecular_orbitals, silent):
+    """One jitted call for the MO-basis density plus one for the AO back-
+    transform (eager dispatches cost ~25 ms each through the tunnel)."""
+    log("\n  Constructing linearised density...    ", calculation, 1, end="", silent=silent)
+    P = _linearised_density_mo(t_ia, t_ijab, int(n_orbitals), int(n_occ),
+                               int(o.start or 0), int(o.stop),
+                               calculation.reference == "RHF")
 
     if calculation.reference == "UHF":
         P, P_alpha, P_beta = transforms.density_so_to_ao(
             P, jnp.asarray(molecular_orbitals), n_orbitals)
     else:
-        P = 2 * P
-        C = jnp.asarray(molecular_orbitals)
-        P = C @ P @ C.T
+        P = _density_mo_to_ao_rhf(P, jnp.asarray(molecular_orbitals))
         P_alpha = P_beta = P / 2
     log("     [Done]", calculation, 1, silent=silent)
     return P, P_alpha, P_beta

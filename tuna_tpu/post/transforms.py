@@ -81,18 +81,24 @@ def density_so_to_ao(P_SO, C_spin_block, n_SO):
 
 
 # --- energy denominators ---------------------------------------------------
+# Jitted with static slices: these are called eagerly from the host-level
+# correlation preambles, where each broadcast/divide op is a ~25 ms tunnel
+# round trip on the remote-TPU backend (tools/count_dispatches.py).
 
+@partial(jax.jit, static_argnames=("o", "v"))
 def singles_epsilons(epsilons, o, v, level_shift=0.0):
     n = jnp.newaxis
     return 1.0 / (epsilons[o, n] - epsilons[n, v] - level_shift)
 
 
+@partial(jax.jit, static_argnames=("o1", "o2", "v1", "v2"))
 def doubles_epsilons(eps1, eps2, o1, o2, v1, v2, level_shift=0.0):
     n = jnp.newaxis
     return 1.0 / (eps1[o1, n, n, n] + eps2[n, o2, n, n]
                   - eps1[n, n, v1, n] - eps2[n, n, n, v2] - 2 * level_shift)
 
 
+@partial(jax.jit, static_argnames=("o", "v"))
 def triples_epsilons(epsilons, o, v, level_shift=0.0):
     n = jnp.newaxis
     return 1.0 / (epsilons[o, n, n, n, n, n] + epsilons[n, o, n, n, n, n]
@@ -101,6 +107,7 @@ def triples_epsilons(epsilons, o, v, level_shift=0.0):
                   - 3 * level_shift)
 
 
+@partial(jax.jit, static_argnames=("o", "v"))
 def quadruples_epsilons(epsilons, o, v, level_shift=0.0):
     n = jnp.newaxis
     return 1.0 / (epsilons[o, n, n, n, n, n, n, n] + epsilons[n, o, n, n, n, n, n, n]

