@@ -54,6 +54,7 @@ def test_scan_driver_takes_parallel_fast_path():
     ("B3LYP STO-3G", "TIGHTSCF", "H H", (1.2, 1.9)),          # hybrid GGA
     ("TPSS STO-3G", "TIGHTSCF", "H H", (1.2, 1.9)),           # meta-GGA (tau)
     ("UB3LYP STO-3G", "CH 1 ML 2 TIGHTSCF", "LI H", (2.6, 3.3)),  # unrestricted
+    ("B3LYP STO-3G", "NL TIGHTSCF", "H H", (1.2, 1.9)),       # + VV10 batch
 ])
 def test_sharded_dft_scan_matches_serial(method_basis, kw, system, bonds):
     """DFT rides the sharded batch: per-geometry quadrature grids are
@@ -75,6 +76,31 @@ def test_sharded_dft_scan_matches_serial(method_basis, kw, system, bonds):
     for R, E_batch in zip(R_batch[:2], energies[:2]):
         line = (f"SPE : {system} {R * 0.529177210544:.12f} : "
                 f"{method_basis} : {kw}")
+        E_serial = run(line, suppress_output=True)[2]
+        assert abs(E_batch - E_serial) < 1e-9, (R, E_batch, E_serial)
+
+
+def test_sharded_double_hybrid_scan_matches_serial():
+    """Double hybrids batch as sharded DFT SCF + the vmapped MP2 stage
+    scaled by the functional's MPC coefficient (parallel.dh_scan_batchable);
+    serial counterpart drivers/post_scf.py:120-127."""
+    import jax
+    from tuna_tpu import parallel
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    ct, ms, basis, symbols, coords, params = parse_input(
+        "SPE : H H 1.0 : B2PLYP STO-3G : TIGHTSCF")
+    cfg = Config(ct, process_method(ms), time.time(), params, basis, symbols,
+                 suppress_output=True)
+    assert parallel.dh_scan_batchable(cfg, symbols)
+    R_batch = np.linspace(1.2, 1.9, 8)
+    energies, converged = parallel.scan_energies_parallel(
+        cfg, symbols, R_batch, parallel.device_mesh())
+    assert converged.all()
+    for R, E_batch in zip(R_batch[:2], energies[:2]):
+        line = (f"SPE : H H {R * 0.529177210544:.12f} : "
+                f"B2PLYP STO-3G : TIGHTSCF")
         E_serial = run(line, suppress_output=True)[2]
         assert abs(E_batch - E_serial) < 1e-9, (R, E_batch, E_serial)
 

@@ -50,6 +50,70 @@ def _vv10_kernel(density, w, sigma, pts, b, C, n_points):
     return weighted_density @ (beta + 0.5 * inner)
 
 
+@jax.jit
+def _density_sigma_on_grid(P, bfs, bf_grads):
+    """(density, sigma) on the grid for one total density matrix."""
+    density = construct_density_on_grid(P, bfs).ravel()
+    gradient = 2 * jnp.einsum("ij,ikl,ajkl->akl", P, bfs, bf_grads,
+                              optimize=True)
+    sigma = jnp.sum(gradient * gradient, axis=0).ravel()
+    return density, sigma
+
+
+def vv10_energies_batch(P_batch, bfs_b, grads_b, w_b, pts_b, functional,
+                        grid_axes=(0, 0, 0, 0)):
+    """Per-point VV10 energies for a BATCH of converged densities.
+
+    Serves the sharded scan/stencil fast paths (parallel._solve_points:
+    per-geometry grids stacked on the batch axis) and the finite-field
+    batch (one shared grid, grid_axes=(None,)*4).  Two device calls total:
+    one vmapped density/sigma evaluation, then -- after the host-side
+    density masking that picks each point's active set -- one vmapped
+    padded kernel over a COMMON bucket size (the max over the batch), so
+    the compiled kernel is shared by every batch element.  The reference
+    evaluates VV10 once per serial scan point (tuna_dft.py:901-1063).
+    """
+    b = functional.VV10_b if functional is not None else 3.9
+    C = functional.VV10_C if functional is not None else 0.0093
+    scaling = functional.VV10_scaling if functional is not None else 1.0
+
+    n_b = len(P_batch)
+    bfs_ax, grads_ax, w_ax, pts_ax = grid_axes
+    dens_b, sigma_b = jax.vmap(_density_sigma_on_grid,
+                               in_axes=(0, bfs_ax, grads_ax))(
+        jnp.asarray(P_batch), jnp.asarray(bfs_b), jnp.asarray(grads_b))
+    dens_b = np.asarray(dens_b)
+    sigma_b = np.asarray(sigma_b)
+    w_np = np.asarray(w_b)
+    pts_np = np.asarray(pts_b)
+
+    masks = [dens_b[i] > 1e-10 for i in range(n_b)]
+    m_max = max(int(np.sum(mk)) for mk in masks)
+    n_points = max(_ROW_CHUNK, -(-m_max // _BUCKET) * _BUCKET)
+
+    def padded(i, values_full, fill):
+        out = np.full(n_points, fill, dtype=np.float64)
+        active = values_full[masks[i]]
+        out[:active.shape[0]] = active
+        return out
+
+    density = np.stack([padded(i, dens_b[i], 1.0) for i in range(n_b)])
+    w = np.stack([padded(i, (w_np[i] if w_ax == 0 else w_np).ravel(), 0.0)
+                  for i in range(n_b)])
+    sigma = np.stack([padded(i, sigma_b[i], 0.0) for i in range(n_b)])
+    pts = np.zeros((n_b, n_points, 3))
+    for i in range(n_b):
+        src = (pts_np[i] if pts_ax == 0 else pts_np).reshape(3, -1).T
+        act = src[masks[i]]
+        pts[i, :act.shape[0]] = act
+
+    kern = partial(_vv10_kernel, b=b, C=C, n_points=n_points)
+    E = jax.jit(jax.vmap(lambda d, wt, sg, pt: kern(d, wt, sg, pt)))(
+        jnp.asarray(density), jnp.asarray(w), jnp.asarray(sigma),
+        jnp.asarray(pts))
+    return np.asarray(E) * scaling
+
+
 def calculate_VV10_energy(P, grid_container, calculation, silent):
     bfs, weights, bf_grads, points = grid_container
     functional = calculation.functional

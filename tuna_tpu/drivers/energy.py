@@ -385,12 +385,15 @@ def scan_coordinate(calculation, atomic_symbols, starting_coordinates,
     # a multi-chip mesh the whole scan runs as ONE sharded batched SCF solve
     # (tuna_tpu.parallel) instead of the serial MOREAD-chained walk.  Covers
     # mean-field HF/UHF and pure/hybrid (meta-)GGA DFT (per-point grids ride
-    # the batch axis); serial remains the fallback for correlated/VV10/
-    # double-hybrid/field/extrapolated scans and for any unconverged batch
-    # (where density chaining earns its keep).
+    # the batch axis, VV10 added per point) plus double hybrids (sharded DFT
+    # SCF + vmapped MP2 stage); serial remains the fallback for
+    # field/extrapolated scans and for any unconverged batch (where density
+    # chaining earns its keep).
     import jax as _jax
     from .. import parallel
     plain_mean_field = ((parallel.mean_field_batchable(calculation)
+                         or parallel.dh_scan_batchable(calculation,
+                                                       atomic_symbols)
                          or parallel.mp2_scan_batchable(calculation,
                                                         atomic_symbols)
                          or parallel.cc_scan_batchable(calculation,

@@ -69,9 +69,12 @@ def _batched_inputs(calculation, atomic_symbols, bond_lengths):
     mats = {"T": [], "V": [], "ERI": [], "S": [], "X": [], "Pa": [], "Pb": [],
             "E_add": []}
     is_dft = bool(calculation.DFT_calculation)
+    needs_vv10 = _needs_vv10(calculation)
     if is_dft:
         from .dft import grid as dft_grid
         mats["BFS"], mats["W"], mats["GRADS"] = [], [], []
+        if needs_vv10:
+            mats["PTS"] = []
     meta = []
     molecule = None
     for R in bond_lengths:
@@ -111,6 +114,8 @@ def _batched_inputs(calculation, atomic_symbols, bond_lengths):
             mats["W"].append(np.asarray(w_g))
             mats["GRADS"].append(np.asarray(grads_g)
                                  if grads_g is not None else None)
+            if needs_vv10:
+                mats["PTS"].append(np.asarray(_pts))
         meta.append({"coordinates": coords,
                      "centre_of_mass": molecule.centre_of_mass,
                      "charges": molecule.charges,
@@ -124,18 +129,25 @@ def _batched_inputs(calculation, atomic_symbols, bond_lengths):
     return molecule, stacked, meta
 
 
+def _needs_vv10(calculation):
+    """The post-SCF VV10 term applies with the NL keyword or the B97M-V
+    functional (drivers/energy.py:200)."""
+    return (getattr(calculation, "VV10", False)
+            or calculation.method.name == "B97M-V")
+
+
 def mean_field_batchable(calculation, *, fields_free=True):
     """True when a calculation's SCF solves can ride the sharded batch
     kernels below: mean-field HF/UHF or pure/hybrid DFT (grids become a
-    stacked batch axis; VV10 and double hybrids stay serial -- their
-    non-local/post-SCF terms are not in the kernel), stored integrals
-    (DIRECT closes over per-geometry coordinates) and no CBS extrapolation.
-    `fields_free` additionally requires no applied field -- geometry batches
-    share the field-free kernel signature, while the field batch
+    stacked batch axis; the post-SCF VV10 term is added per point by
+    dft.vv10.vv10_energies_batch; double hybrids stay serial -- their MP2
+    stage is not in the kernel), stored integrals (DIRECT closes over
+    per-geometry coordinates) and no CBS extrapolation.  `fields_free`
+    additionally requires no applied field -- geometry batches share the
+    field-free kernel signature, while the field batch
     (field_energies_parallel) naturally owns its field axis."""
     plain_hf = calculation.method.name in ("HF", "UHF")
     batchable_dft = (calculation.DFT_calculation
-                     and not getattr(calculation, "VV10", False)
                      and not getattr(calculation, "MPC_prop", 0))
     ok = ((plain_hf or batchable_dft)
           and not getattr(calculation, "extrapolate", False)
@@ -183,8 +195,6 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
 
     coords_dummy = jnp.zeros((molecule.n_atoms, 3))
     is_dft = bool(calculation.DFT_calculation)
-    if return_orbitals and is_dft:
-        raise ValueError("return_orbitals is a mean-field-HF path")
 
     def kernel_call(kern, T, V, ERI, S, X, Pa, Pb):
         n_steps, converged, E, P_a, P_b, _, outs = kern(
@@ -228,15 +238,19 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
             return solve_one_dft(T, V, ERI, S, X, Pa, Pb, bfs, w,
                                  grads if have_grads else None)
 
+        n_out = 7 if return_orbitals else 3
         batched = jax.jit(
             jax.vmap(solve_one,
                      in_axes=(0,) * 9 + (grads_axis,)),
             in_shardings=(shard_b,) * 9
             + ((shard_b,) if have_grads else (None,)),
-            out_shardings=(shard_b, shard_b, shard_b))
-        energies, converged, P = batched(
+            out_shardings=(shard_b,) * n_out)
+        out = batched(
             batch["T"], batch["V"], batch["ERI"], batch["S"], batch["X"],
             batch["Pa"], batch["Pb"], batch["BFS"], batch["W"], grads_batch)
+        energies, converged, P = out[:3]
+        if return_orbitals:
+            orbitals = out[3:7]
     else:
         kernel = get_scf_kernel(settings)
 
@@ -256,6 +270,16 @@ def _solve_points(calculation, atomic_symbols, bond_lengths,
     energies = (np.asarray(energies) + np.asarray(batch["E_add"]))[:n_points]
     P = np.asarray(P)[:n_points]
     converged = np.asarray(converged)[:n_points]
+    if is_dft and _needs_vv10(calculation):
+        # Post-SCF non-local dispersion per point, batched over the same
+        # stacked grids (serial counterpart: drivers/energy.py:200-204)
+        from .dft import vv10
+        energies = energies + vv10.vv10_energies_batch(
+            P, np.asarray(batch["BFS"])[:n_points],
+            np.asarray(batch["GRADS"])[:n_points],
+            np.asarray(batch["W"])[:n_points],
+            np.asarray(batch["PTS"])[:n_points],
+            calculation.functional)
     if return_orbitals:
         orbitals = tuple(np.asarray(x)[:n_points] for x in orbitals)
         return (energies, converged, P, meta[:n_points], orbitals, molecule)
@@ -307,6 +331,27 @@ def mp2_scan_batchable(calculation, atomic_symbols, allow_extrapolate=False):
             and _restricted_reference(calculation, atomic_symbols))
 
 
+def dh_scan_batchable(calculation, atomic_symbols, allow_extrapolate=False):
+    """Double-hybrid scans ride the batch: the sharded DFT SCF returns
+    per-point orbitals and the MP2 stage (scaled by the functional's MPC
+    coefficient, with SCS where the functional is spin-scaled) is the same
+    vmapped closed form the MPn scans use.  Excited-state/TD and
+    relaxed-density variants stay serial.  Serial counterpart:
+    drivers/post_scf.py:120-127."""
+    return (bool(calculation.DFT_calculation)
+            and float(getattr(calculation, "MPC_prop", 0.0) or 0.0) > 0.0
+            and not (getattr(calculation, "extrapolate", False)
+                     and not allow_extrapolate)
+            and not getattr(calculation, "direct_scf", False)
+            and not getattr(calculation, "read_checkpoint", False)
+            and not np.any(calculation.electric_field)
+            and not np.any(calculation.electric_field_gradient)
+            and not calculation.time_dependent
+            and not calculation.method.excited_state_method
+            and not getattr(calculation, "relaxed_density", False)
+            and _restricted_reference(calculation, atomic_symbols))
+
+
 # Restricted iterative methods whose amplitude solver (ONE while_loop,
 # post/cc._build_cc_solver_fn) vmaps over the geometry batch; CC2/CC3 (AO
 # tensor threaded through every iteration) and triples-and-higher stay
@@ -351,13 +396,18 @@ def _batched_restricted_mp2(calculation, molecule, ERI_b, mos, eps,
     base = calculation.method.method_base      # "MP2" | "MP3" | "MP4"
     n_occ = molecule.n_doubly_occ
 
+    # Double hybrids scale the whole MP2 stage by the functional's MPC
+    # coefficient (serial: drivers/post_scf.py:124); DFT never reaches the
+    # MP3/MP4 branches below.
+    dh_scale = (calculation.MPC_prop if calculation.DFT_calculation else 1.0)
+
     def one(ERI, C, e):
         MO = transforms.ao_to_mo_chemists(ERI, C)
         g_phys = transforms.chemists_to_physicists(MO)
         e_ijab = transforms.doubles_epsilons(e, e, o, o, v, v)
         E_OS, E_SS, *_ = mp_mod._restricted_mp2_core(
             g_phys[o, o, v, v], e_ijab, n_occ)
-        E = osc * E_OS + ss * E_SS
+        E = (osc * E_OS + ss * E_SS) * dh_scale
         if base in ("MP3", "MP4"):
             # The MP3/MP4 cores consume the CHEMISTS' MO tensor and slice
             # the (unfrozen) occupied block themselves.
@@ -450,8 +500,11 @@ def _solve_points_components(calculation, atomic_symbols, bond_lengths,
     (E_scf_total, E_corr, E_disp, converged, P_SCF, meta), where E_scf_total
     = electronic + V_NN + dispersion and E_corr is zero for mean-field
     methods.  The CBS scan needs the split; plain scans sum them."""
-    restricted_corr = (mp2_scan_batchable(calculation, atomic_symbols,
-                                          allow_extrapolate)
+    dh_corr = dh_scan_batchable(calculation, atomic_symbols,
+                                allow_extrapolate)
+    restricted_corr = (dh_corr
+                       or mp2_scan_batchable(calculation, atomic_symbols,
+                                             allow_extrapolate)
                        or cc_scan_batchable(calculation, atomic_symbols,
                                             allow_extrapolate))
     unrestricted_corr = (not restricted_corr
@@ -466,7 +519,8 @@ def _solve_points_components(calculation, atomic_symbols, bond_lengths,
                                    mesh, return_orbitals=True)
         mos, eps = orbitals[0], orbitals[1]
         ERI_b = np.stack([np.asarray(m["integrals"].ERI_AO) for m in meta])
-        if mp2_scan_batchable(calculation, atomic_symbols, allow_extrapolate):
+        if dh_corr or mp2_scan_batchable(calculation, atomic_symbols,
+                                         allow_extrapolate):
             E_corr = _batched_restricted_mp2(
                 calculation, molecule, ERI_b, mos, eps)
         else:
@@ -810,6 +864,8 @@ def field_energies_parallel(calculation, atomic_symbols, coordinates, fields,
     correlated = (mp2_scan_batchable(calculation, [a.symbol for a in molecule.atoms])
                   or cc_scan_batchable(calculation, [a.symbol for a in molecule.atoms]))
 
+    needs_vv10 = calculation.DFT_calculation and _needs_vv10(calculation)
+
     def solve_one(Fld_b, G_b):
         n_steps, converged, E, P_a_out, P_b_out, _, outs = kernel(
             T, V, ERI, S, Xd, Fld_b, G_b, coords_dev, P_a, P_b, 0.0,
@@ -818,16 +874,26 @@ def field_energies_parallel(calculation, atomic_symbols, coordinates, fields,
             static_damping, calculation.max_damping)
         if correlated:
             return E, converged, outs["mos_a"], outs["eps_a"]
+        if needs_vv10:
+            return E, converged, P_a_out + P_b_out
         return E, converged
 
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, PartitionSpec(axis))
-    n_out = 4 if correlated else 2
+    n_out = 4 if correlated else (3 if needs_vv10 else 2)
     batched = jax.jit(jax.vmap(solve_one),
                       in_shardings=(shard, shard),
                       out_shardings=(shard,) * n_out)
     out = batched(Fld, G)
     energies, converged = np.asarray(out[0]), np.asarray(out[1])
+    if needs_vv10:
+        # One shared geometry/grid across the field batch: the per-field
+        # VV10 term varies only through the converged density
+        from .dft import vv10
+        bfs_g, w_g, grads_g, pts_g = grid_container
+        energies = energies + vv10.vv10_energies_batch(
+            np.asarray(out[2]), bfs_g, grads_g, w_g, pts_g,
+            calculation.functional, grid_axes=(None, None, None, None))
     if correlated:
         mos, eps = np.asarray(out[2]), np.asarray(out[3])
         if calculation.method.name in _MPN_SCAN_METHODS:
