@@ -102,6 +102,22 @@ def test_guess_strategies_agree():
     assert np.ptp(energies) < 1e-8
 
 
+def test_host_pinned_guess_branch_matches(monkeypatch):
+    """On accelerator backends the minimal-basis guess SCF is pinned to the
+    host CPU device (drivers/energy.calculate_self_consistent_guess); force
+    that branch on the CPU backend to exercise the pinning context and the
+    numpy re-commit boundary."""
+    import jax as _jax
+
+    _, _, E_default, _ = run("SPE : LI H 1.6 : HF 6-31G", suppress_output=True)
+    # Only the guess stage consults default_backend through this module
+    # alias; 6-31G keeps every other backend gate (lmax>=3 ERI fallback)
+    # inert.
+    monkeypatch.setattr(_jax, "default_backend", lambda: "fake-accelerator")
+    _, _, E_pinned, _ = run("SPE : LI H 1.6 : HF 6-31G", suppress_output=True)
+    assert abs(E_pinned - E_default) < 1e-10
+
+
 def test_electric_field():
     """A finite field along z lowers the energy (polarisation) for H2."""
     _, _, E0, _ = run("SPE : H H 0.74 : HF 6-31G", suppress_output=True)

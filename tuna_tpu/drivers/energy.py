@@ -35,12 +35,26 @@ def calculate_self_consistent_guess(calculation, atomic_symbols, coordinates,
     log("\n Calculating self-consistent density for guess...  ", calculation,
         end="", silent=silent)
 
+    import jax as _jax
+
     old_basis = calculation.basis
     calculation.basis = "STO-3G"
     try:
-        SCF_output, molecule_minimal, guess_energy, _ = calculate_energy(
-            calculation, atomic_symbols, coordinates, terse=True, silent=True,
-            do_correlation=False)
+        # The minimal-basis SCF is a milliseconds-sized computation, but on
+        # the remote-TPU backend it loads its own set of compiled
+        # executables through the tunnel (~17 s of a warm CLI start,
+        # PERF.md).  Pin the whole stage to the host CPU device; only the
+        # PROJECTED density below re-enters the accelerator (explicitly, via
+        # the target-basis operands -- no committed-CPU array leaks out).
+        if _jax.default_backend() != "cpu":
+            with _jax.default_device(_jax.local_devices(backend="cpu")[0]):
+                SCF_output, molecule_minimal, guess_energy, _ = calculate_energy(
+                    calculation, atomic_symbols, coordinates, terse=True,
+                    silent=True, do_correlation=False)
+        else:
+            SCF_output, molecule_minimal, guess_energy, _ = calculate_energy(
+                calculation, atomic_symbols, coordinates, terse=True,
+                silent=True, do_correlation=False)
     finally:
         calculation.basis = old_basis
 
@@ -48,10 +62,14 @@ def calculate_self_consistent_guess(calculation, atomic_symbols, coordinates,
     S_cross = cross_overlap(molecule.cartesian_basis_functions,
                             molecule_minimal.cartesian_basis_functions)
 
+    # np.asarray strips the guess stage's CPU commitment so the projection
+    # follows the target-basis operands' (accelerator) placement.
     P_a = guess_mod.project_density_matrix(
-        SCF_output.P_alpha, S_cross, S_inverse, molecule.spherical_transformation)
+        np.asarray(SCF_output.P_alpha), S_cross, S_inverse,
+        molecule.spherical_transformation)
     P_b = guess_mod.project_density_matrix(
-        SCF_output.P_beta, S_cross, S_inverse, molecule.spherical_transformation)
+        np.asarray(SCF_output.P_beta), S_cross, S_inverse,
+        molecule.spherical_transformation)
 
     log("[Done]", calculation, silent=silent)
     timer("Initial guess", 1)
