@@ -77,9 +77,10 @@ def main():
     B = _restricted_blocks(g, o, v)
     F_ov = F[o, v]
     r = jnp.concatenate([t1.ravel(), t2.ravel()]) * 1e-5
-    # The production body keeps the DIIS error ring in f32 and the
-    # amplitudes in ONE flat f64 ring (post/cc.py body)
-    err_buf = jnp.stack([r * (k + 1) for k in range(M)]).astype(jnp.float32)
+    # The production body keeps the DIIS error ring in the working dtype
+    # (an f32 ring doubled the iteration count) and the amplitudes in ONE
+    # flat ring (post/cc.py body)
+    err_buf = jnp.stack([r * (k + 1) for k in range(M)])
     amp_flat = jnp.concatenate([t1.ravel(), t2.ravel()])
     amp_buf = jnp.stack([amp_flat * (1 + 1e-6 * k) for k in range(M)])
     coeffs = jnp.full((M,), 1.0 / M, dtype=t2.dtype)
@@ -116,8 +117,7 @@ def main():
             def body(i, carry):
                 acc, ba, be = carry
                 ba, _ = _push_ring(ba, amp_flat * acc, jnp.asarray(M), M)
-                be, _ = _push_ring(
-                    be, (r * acc).astype(jnp.float32), jnp.asarray(M), M)
+                be, _ = _push_ring(be, r * acc, jnp.asarray(M), M)
                 return acc + 1e-12 * ba[0, 0], ba, be
             return jax.lax.fori_loop(
                 0, N_REPS, body, (seed, amp_buf, err_buf))[0]

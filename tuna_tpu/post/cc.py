@@ -918,14 +918,14 @@ def _build_cc_solver_fn(settings: CCSettings):
         def body(carry):
             # Op-count discipline (each emulated-f64 op costs ~40 us on TPU,
             # PERF.md): amplitudes ride ONE flat ring (one push + one
-            # extrapolation matvec instead of two of each), the DIIS error
-            # ring, Gram matrix and bordered solve run entirely in f32
-            # (coefficient error only multiplies the residual-sized SPREAD
-            # of the stored amplitudes; see _diis_coefficients), and the
+            # extrapolation matvec instead of two of each) and the
             # convergence norms are f32 (threshold compares tolerate 1e-7
-            # relative error).  The residual subtraction itself stays f64 --
-            # late-iteration differences are ~1e-9 of the amplitudes, far
-            # below f32 resolution of the operands.
+            # relative error).  The DIIS error ring stays in the working
+            # dtype: an f32 ring was measured to DOUBLE the iteration count
+            # at N2/STO-3G (23 vs 13 to the same thresholds) and to stall
+            # ~1e-10 short of the fixed point -- the 1e-7 Gram noise wrecks
+            # the late-stage extrapolation, costing far more wall time than
+            # the saved emulated ops.
             (step, E, t1, t2, amp_buf, err_buf, n_valid, conv, failed,
              stats) = carry
 
@@ -934,7 +934,8 @@ def _build_cc_solver_fn(settings: CCSettings):
 
             tn_flat = jnp.concatenate([t1n.ravel(), t2n.ravel()])
             t_flat = jnp.concatenate([t1.ravel(), t2.ravel()])
-            r32 = (tn_flat - t_flat).astype(jnp.float32)
+            r = tn_flat - t_flat
+            r32 = r.astype(jnp.float32)
             amp_ok = jnp.linalg.norm(r32[n1:]) < amp_conv
             if settings.update_singles:
                 amp_ok = amp_ok & (jnp.linalg.norm(r32[:n1]) < amp_conv)
@@ -942,7 +943,7 @@ def _build_cc_solver_fn(settings: CCSettings):
             is_failed = (~jnp.all(jnp.isfinite(t2n))) | (En > 1000.0)
 
             amp_buf2, _ = _push_ring(amp_buf, tn_flat, n_valid, M)
-            err_buf2, n_valid2 = _push_ring(err_buf, r32, n_valid, M)
+            err_buf2, n_valid2 = _push_ring(err_buf, r, n_valid, M)
 
             tx = tn_flat
             if settings.use_diis:
@@ -972,7 +973,7 @@ def _build_cc_solver_fn(settings: CCSettings):
 
         carry0 = (jnp.asarray(1), jnp.asarray(0.0, dtype=dtype), t1_0, t2_0,
                   jnp.zeros((M, t1_0.size + t2_0.size), dtype=dtype),
-                  jnp.zeros((M, t1_0.size + t2_0.size), dtype=jnp.float32),
+                  jnp.zeros((M, t1_0.size + t2_0.size), dtype=dtype),
                   jnp.asarray(0), jnp.asarray(False), jnp.asarray(False),
                   jnp.zeros((settings.max_iter, 2), dtype=dtype))
 
