@@ -1150,9 +1150,11 @@ def _build_newton_fn(settings: CCSettings):
             # exact bf16 slice matmuls on the MXU instead of ~40 us/op
             # emulated-f64 dots (the ContextVar redirect happens at trace
             # time, so the jitted executable bakes the choice in).
-            # The f64 energy and its jvp certification (below) ride the same
-            # redirect: their "ijab,ijab->" contractions are K=o^2v^2 dots
-            # that ozaki turns into slice matmuls.
+            # The f64 energy value rides the same redirect (its
+            # "ijab,ijab->" contraction is a K=o^2v^2 dot ozaki turns into
+            # slice matmuls).  The jvp certification below stays OUTSIDE the
+            # redirect: differentiating through the bit-slice decomposition
+            # would give wrong tangents.
             token = _EINSUM_IMPL.set(ozaki.einsum) if settings.use_ozaki else None
             try:
                 p1, p2 = phi(B64, F, d1, d2, t1, t2, aux64)
