@@ -59,6 +59,47 @@ def test_packed_transform_chunking_invariant():
     assert np.max(np.abs(np.asarray(a - b))) < 1e-11
 
 
+def test_mixed_packed_transform_matches_dense():
+    """Mixed-coefficient transform (left pair W_a, right pair W_b) -- the
+    UHF-reference DIRECT path's (alpha alpha | beta beta) block."""
+    plan, mol, coords = _system("SPE : N N 1.1 : HF STO-3G")
+    N = plan.n_basis
+    rng = np.random.RandomState(23)
+    Wa = jnp.asarray(rng.randn(N, N) / np.sqrt(N))
+    Wb = jnp.asarray(rng.randn(N, N) / np.sqrt(N))
+    dense = jnp.einsum("ijkl,ir,js,kp,lq->rspq", plan.eri(coords),
+                       Wa, Wa, Wb, Wb, optimize=True)
+    G = motransform.pair_packed_to_mo_mixed(
+        plan.eri_pair_packed(coords), jnp.asarray(plan.pair_index), Wa, Wb, N)
+    got = motransform.expand_mo_chemists(G, N)
+    assert np.max(np.abs(np.asarray(got - dense))) < 1e-10
+
+
+def test_direct_so_transform_matches_spin_block():
+    """transform_direct_so_physicists must reproduce the stored-tensor
+    spin-orbital <pq|rs> (spin_block_eri + ao_to_so_physicists) exactly,
+    including the energy-sorted orbital interleaving."""
+    from tuna_tpu.drivers.energy import calculate_energy
+    from tuna_tpu.post import transforms
+
+    line = "SPE : LI H 1.6 : UHF STO-3G : CH 1 ML 2 TIGHTSCF"
+    ct, ms, basis, symbols, coords, params = parse_input(line)
+    cfg = Config(ct, process_method(ms), time.time(), params, basis, symbols,
+                 suppress_output=True)
+    SCF_output, molecule, _, _ = calculate_energy(cfg, symbols, coords,
+                                                  silent=True,
+                                                  do_correlation=False)
+    integrals = SCF_output.integrals
+
+    ERI_sb = transforms.spin_block_eri(jnp.asarray(integrals.ERI_AO))
+    C_sb = transforms.spin_block_orbitals(
+        SCF_output.molecular_orbitals_alpha,
+        SCF_output.molecular_orbitals_beta, SCF_output.epsilons_combined)
+    want = transforms.ao_to_so_physicists(ERI_sb, C_sb, C_sb)
+    got = transforms.transform_direct_so_physicists(molecule, SCF_output, cfg)
+    assert np.max(np.abs(np.asarray(got - want))) < 1e-10
+
+
 def test_sharded_transform_matches_serial():
     """The mesh-sharded two-phase transform (row-shard, all_to_all,
     column-shard) must agree with the serial packed transform."""
@@ -92,6 +133,11 @@ def test_sharded_transform_matches_serial():
      "SPE : N N 1.1 : MP2 6-31G : DIRECT TIGHTSCF"),
     ("SPE : LI H 1.6 : CCSD STO-3G : TIGHTSCF",
      "SPE : LI H 1.6 : CCSD STO-3G : DIRECT TIGHTSCF"),
+    # UHF-reference (spin-orbital) CC through transform_direct_so_physicists
+    ("SPE : LI H 1.6 : UCCSD 6-31G : CH 1 ML 2 TIGHTSCF",
+     "SPE : LI H 1.6 : UCCSD 6-31G : CH 1 ML 2 DIRECT TIGHTSCF"),
+    ("SPE : LI H 1.6 : UCCSD[T] STO-3G : CH 1 ML 2 TIGHTSCF",
+     "SPE : LI H 1.6 : UCCSD[T] STO-3G : CH 1 ML 2 DIRECT TIGHTSCF"),
 ])
 def test_direct_correlated_matches_stored(line_pair):
     """End-to-end: DIRECT + correlated method (integral-direct SCF, then the

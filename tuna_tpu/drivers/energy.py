@@ -174,13 +174,23 @@ def calculate_energy(calculation, atomic_symbols, coordinates, P_guess=None,
             "CCSD", "CCSD[T]", "CCSD(T)",
         }
         name = calculation.method.name
+        # UHF-reference CC/CI runs get their spin-orbital <pq|rs> transform-
+        # direct too (transforms.transform_direct_so_physicists); the
+        # spin-orbital MPn densities still consume the spin-blocked AO
+        # tensor itself (post/mp.py) and stay excluded.
+        _DIRECT_OK_UHF = {
+            "HF", "UHF", "CID", "CISD", "CCD", "CEPA", "CEPA0", "CEPA[0]",
+            "CEPA(0)", "LCCD", "LCCSD", "QCISD", "QCISD[T]", "QCISD(T)",
+            "CCSD", "CCSD[T]", "CCSD(T)",
+        }
         if (calculation.DFT_calculation or name not in _DIRECT_OK
-                or (calculation.reference != "RHF" and name not in ("HF", "UHF"))):
+                or (calculation.reference != "RHF"
+                    and name not in _DIRECT_OK_UHF)):
             error('The "DIRECT" (integral-direct) keyword supports mean-field '
-                  "HF/UHF and restricted correlated methods (MPn/CI/CC "
-                  "families); DFT, spin-orbital (UHF-reference) correlation "
-                  "and AO-tensor-iterating methods (CC2/CC3/CCSDT+/OMP2/"
-                  "LMP2) need the stored two-electron tensor.")
+                  "HF/UHF and correlated MPn/CI/CC families (restricted, plus "
+                  "the UHF-reference CC/CI set); DFT, spin-orbital MPn "
+                  "densities and AO-tensor-iterating methods (CC2/CC3/"
+                  "CCSDT+/OMP2/LMP2) need the stored two-electron tensor.")
         if calculation.stability_analysis or calculation.time_dependent:
             error("Stability analysis and excited states need the stored "
                   'two-electron tensor; remove the "DIRECT" keyword.')

@@ -101,6 +101,27 @@ def expand_mo_chemists(G_mo, n_mo: int):
     return G_mo[midx[:, :, None, None], midx[None, None, :, :]]
 
 
+@partial(jax.jit, static_argnames=("n_mo", "row_chunk"))
+def pair_packed_to_mo_mixed(G_pair, pair_index, W_left, W_right, n_mo: int,
+                            row_chunk: int = 128):
+    """Mixed-coefficient transform: left pair gets W_left, right gets W_right.
+
+    Serves the UHF-reference integral-direct path, where the spin-orbital
+    tensor decomposes into spatial chemists' blocks (a_sigma b_sigma |
+    c_tau d_tau) with per-spin orbital sets.  Returns the packed matrix
+    whose element ((rs), (pq)) is (r_left s_left | p_right q_right); expand
+    with `expand_mo_chemists` (both orbital sets span the same n_mo here,
+    so the packed orderings coincide).
+    """
+    tri = mo_pair_indices(n_mo)
+    pair_index = jnp.asarray(pair_index)
+    H = _chunked_half_transform(G_pair, pair_index, W_right, tri, row_chunk)
+    # The second half-transform (over the untouched AO pair axis, using
+    # chemists' (ij|kl) = (kl|ij) symmetry) leaves the RIGHT pairs on its
+    # row axis; transpose so the left pairs lead.
+    return _chunked_half_transform(H.T, pair_index, W_left, tri, row_chunk).T
+
+
 def pair_packed_to_mo_sharded(G_pair, pair_index, W, n_mo: int,
                               mesh: Mesh, row_chunk: int = 128):
     """Mesh-sharded transform-direct AO -> MO (see module docstring).

@@ -143,6 +143,76 @@ def transform_direct_mo_chemists(molecule, SCF_output, calculation):
     return motransform.expand_mo_chemists(G_mo, n_mo)
 
 
+@jax.jit
+def _assemble_so_physicists(blk_aa, blk_ab, blk_bb, is_alpha, sp):
+    """Sorted-basis spin-orbital <pq|rs> from spatial chemists' spin blocks.
+
+    blk_aa/blk_ab/blk_bb are the spatial chemists' tensors (a_s b_s|c_t d_t)
+    for (s,t) = (alpha,alpha)/(alpha,beta)/(beta,beta); is_alpha/sp map each
+    energy-sorted spin orbital to its spin and spatial index.  Chemists'
+    (PQ|RS) is non-zero only for same-spin bra and ket pairs, so the full
+    tensor is four masked gathers; physicists' interleaved <pq|rs> = (pr|qs)
+    matches `ao_to_so_physicists`.
+    """
+    w_a = is_alpha.astype(blk_aa.dtype)
+    w_b = 1.0 - w_a
+    i_a = jnp.where(is_alpha, sp, 0)
+    i_b = jnp.where(is_alpha, 0, sp)
+
+    def term(blk, i1, i2, i3, i4, w1, w2, w3, w4):
+        t = blk[i1][:, i2][:, :, i3][:, :, :, i4]
+        return (t * w1[:, None, None, None] * w2[None, :, None, None]
+                * w3[None, None, :, None] * w4[None, None, None, :])
+
+    blk_ba = blk_ab.transpose(2, 3, 0, 1)
+    E = (term(blk_aa, i_a, i_a, i_a, i_a, w_a, w_a, w_a, w_a)
+         + term(blk_ab, i_a, i_a, i_b, i_b, w_a, w_a, w_b, w_b)
+         + term(blk_ba, i_b, i_b, i_a, i_a, w_b, w_b, w_a, w_a)
+         + term(blk_bb, i_b, i_b, i_b, i_b, w_b, w_b, w_b, w_b))
+    return E.transpose(0, 2, 1, 3)
+
+
+def transform_direct_so_physicists(molecule, SCF_output, calculation):
+    """Spin-orbital <pq|rs> straight from the packed pair sweep (DIRECT).
+
+    The stored-tensor route spin-blocks the AO tensor to (2N)^4 before
+    transforming (`spin_block_eri`, 16x the N^4 AO tensor the reference
+    already has to hold, tuna_kernel.py:392-406); here the three distinct
+    spatial spin blocks transform straight off the packed pair matrix and
+    the only (2N)^4 array ever built is the MO-basis result itself.
+    """
+    from ..drivers import common as _common
+    from ..ops import motransform
+
+    plan = _common.get_integral_plan(molecule)
+    coords = jnp.asarray(molecule.coordinates)
+    C_a = jnp.asarray(SCF_output.molecular_orbitals_alpha)
+    C_b = jnp.asarray(SCF_output.molecular_orbitals_beta)
+    if calculation.cartesian_harmonics:
+        W_a, W_b = C_a, C_b
+    else:
+        T_sph = jnp.asarray(molecule.spherical_transformation)
+        W_a, W_b = T_sph.T @ C_a, T_sph.T @ C_b
+    n_mo = int(C_a.shape[1])
+    pair_index = jnp.asarray(plan.pair_index)
+
+    G_pair = plan.eri_pair_packed(coords)
+    blk_aa = motransform.expand_mo_chemists(
+        motransform.pair_packed_to_mo(G_pair, pair_index, W_a, n_mo), n_mo)
+    blk_bb = motransform.expand_mo_chemists(
+        motransform.pair_packed_to_mo(G_pair, pair_index, W_b, n_mo), n_mo)
+    blk_ab = motransform.expand_mo_chemists(
+        motransform.pair_packed_to_mo_mixed(G_pair, pair_index, W_a, W_b,
+                                            n_mo), n_mo)
+
+    eps_combined = np.asarray(SCF_output.epsilons_combined)
+    order = np.argsort(eps_combined)
+    is_alpha = order < n_mo
+    sp = np.where(is_alpha, order, order - n_mo)
+    return _assemble_so_physicists(blk_aa, blk_ab, blk_bb,
+                                   jnp.asarray(is_alpha), jnp.asarray(sp))
+
+
 def begin_spatial_orbital_calculation(molecule, ERI_AO, SCF_output, calculation,
                                       silent=False):
     """Spatial-orbital setup: chemists' MO integrals + occupied/virtual slices."""
@@ -193,11 +263,21 @@ def begin_spin_orbital_calculation(molecule, ERI_AO, SCF_output, calculation,
     log("\n Preparing transformation to spin orbital basis...", calculation, 1,
         silent=silent)
     timer("Molecular orbital transformation", 0)
-    ERI_spin_block = spin_block_eri(jnp.asarray(ERI_AO))
     C_spin_block = spin_block_orbitals(SCF_output.molecular_orbitals_alpha,
                                        SCF_output.molecular_orbitals_beta,
                                        epsilons_combined)
-    ERI_SO = ao_to_so_physicists(ERI_spin_block, C_spin_block, C_spin_block)
+    if ERI_AO is None:
+        # Integral-direct SCF deferred the stored tensor: build <pq|rs>
+        # straight from the packed pair sweep.  No spin-blocked AO tensor
+        # exists on this path; the DIRECT gate (drivers/energy.py) admits
+        # only consumers that never touch it.
+        ERI_spin_block = None
+        ERI_SO = transform_direct_so_physicists(molecule, SCF_output,
+                                                calculation)
+    else:
+        ERI_spin_block = spin_block_eri(jnp.asarray(ERI_AO))
+        ERI_SO = ao_to_so_physicists(ERI_spin_block, C_spin_block,
+                                     C_spin_block)
     g = antisymmetrise(ERI_SO)
     timer("Molecular orbital transformation", 1)
 
