@@ -25,6 +25,19 @@ def test_flags_cpu_committed_arrays(monkeypatch):
     assert "integral generation" in str(err.value)
 
 
+def test_respects_default_device_scope():
+    """Inside jax.default_device(cpu) -- the deliberately host-pinned guess
+    stage -- CPU placement is the INTENT, not a leak (found live on the TPU
+    backend 2026-08-18: the guard aborted every warm CLI start inside the
+    pinned minimal-basis SCF)."""
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        assert device_guard._default_platform() == "cpu"
+        # must not raise, whatever the global default platform is
+        device_guard.assert_on_accelerator(
+            {"S": jax.device_put(jnp.ones(2), cpu0)}, stage="guess integrals")
+
+
 def test_skips_none_and_host_data(monkeypatch):
     monkeypatch.setattr(device_guard, "_default_platform", lambda: "tpu")
     # None entries (DIRECT defers the ERI) and plain numpy arrays (host-side

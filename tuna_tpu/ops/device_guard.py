@@ -34,6 +34,13 @@ def _default_platform() -> str:
     # The DEFAULT DEVICE's platform, not jax.default_backend(): tests fake
     # the backend name to force accelerator code paths on CPU-only hosts,
     # but a leak only exists when a real non-CPU device is the default.
+    # An active `jax.default_device(...)` scope overrides the global
+    # default: stages deliberately pinned to the host (the minimal-basis
+    # guess SCF, drivers/energy.py) place their arrays on CPU BY INTENT,
+    # and the pinning wrapper strips the commitment at its boundary.
+    scoped = jax.config.jax_default_device
+    if scoped is not None:
+        return getattr(scoped, "platform", str(scoped))
     return jax.devices()[0].platform
 
 
