@@ -1015,19 +1015,28 @@ def get_cc_solver(settings: CCSettings):
 
 _NEWTON_MAX_STEPS = 6
 _GMRES_KRYLOV = 10
+# Quadratic-remainder cancellation inside each advancing Newton step: after
+# the GMRES solve J s = r (J = I - Phi'), the post-update residual is
+# r(t+s) = L + (1/2) Phi''[s,s] + O(s^3), where L is the linear-solve
+# leftover.  Both terms are computable in f32 -- the curvature via a NESTED
+# jvp (a derivative, not a difference: no cancellation against the O(1)
+# amplitudes), L from the Krylov basis -- so a short second solve
+# J s2 = L + q pushes the post-step residual from ~C|r|^2 (4e-8 at the
+# 6-311G gate, just above AMPCONV=1e-8) to ~1e-9, letting the NEXT f64
+# residual certify convergence: two f64 evaluations instead of three.
+_NEWTON_QUAD = os.environ.get("TUNA_TPU_NEWTON_QUAD", "1") != "0"
+_GMRES_QUAD_KRYLOV = int(os.environ.get("TUNA_TPU_GMRES_M2", "6"))
 
 # How deep the production path's f32 DIIS warm phase iterates before handing
-# to the Newton finisher.  Measured inside the fused executable
-# (tools/sweep_warm.py, N2/6-311G on the real chip): a warm f32 iteration
-# costs ~0.1 ms while a Newton step costs ~6 ms, so the warm phase runs all
-# the way to its iteration cap (thresholds 0 = no early exit): stopping at
-# a threshold r~1e-5..1e-6 left the Newton start just above the one-step
-# certification boundary and cost a third Newton step -- (1e-6,1e-4):
-# 47.3 ms/3 steps, (1e-8,1e-5): 47.2 ms/3, run-to-cap: 40.7 ms/2 steps
-# (1 advancing + 1 certifying).  30 extra f32 iterations cost ~3 ms; a
-# saved Newton step saves ~6.
-_WARM_ENERGY_CONV = float(os.environ.get("TUNA_TPU_WARM_ECONV", 0.0))
-_WARM_AMP_CONV = float(os.environ.get("TUNA_TPU_WARM_AMPCONV", 0.0))
+# to the Newton finisher.  With the quadratic-remainder refinement and the
+# solved-correction certification below, TWO Newton steps certify from any
+# warm start at or below r ~ 1e-4, so the warm phase stops at moderate
+# thresholds instead of running to its cap.  Measured inside the fused
+# executable (tools/sweep_warm.py, N2 on the real chip, restructured
+# solver): 6-311G (1e-8,1e-5): 42.0 ms/2 steps vs run-to-cap 43.1 ms/2;
+# cc-pVTZ: 56.9 vs 61.5 ms, 2 steps everywhere on the grid.
+_WARM_ENERGY_CONV = float(os.environ.get("TUNA_TPU_WARM_ECONV", 1e-8))
+_WARM_AMP_CONV = float(os.environ.get("TUNA_TPU_WARM_AMPCONV", 1e-5))
 _WARM_MAX_ITER = int(os.environ.get("TUNA_TPU_WARM_MAXITER", 30))
 
 
@@ -1046,7 +1055,7 @@ def ozaki_appropriate(n_occ: int, n_virt: int) -> bool:
             and (n_occ * n_virt) ** 2 <= 5_000_000)
 
 
-def _gmres_static(matvec, rhs, m=_GMRES_KRYLOV):
+def _gmres_static(matvec, rhs, m=_GMRES_KRYLOV, return_residual=False):
     """Statically-unrolled GMRES (no restarts): m matvecs, least squares in
     the Krylov basis via the unrolled Gauss-Jordan solve.  All indices are
     static -- inside a jitted while_loop body, dynamic scatters cost more
@@ -1083,7 +1092,15 @@ def _gmres_static(matvec, rhs, m=_GMRES_KRYLOV):
     s = Q[0] * y[0]
     for k in range(1, m):
         s = s + Q[k] * y[k]
-    return s
+    if not return_residual:
+        return s
+    # Linear-solve leftover L = rhs - J s, reconstructed from the Krylov
+    # basis: L = Q_{m+1} (beta e1 - H y) -- m+1 axpys, no extra matvec.
+    resid = (e1 - H @ y).astype(dtype)
+    L = Q[0] * resid[0]
+    for k in range(1, m + 1):
+        L = L + Q[k] * resid[k]
+    return s, L
 
 
 def _build_newton_fn(settings: CCSettings):
@@ -1129,6 +1146,9 @@ def _build_newton_fn(settings: CCSettings):
         energy_fn = partial(_restricted_energy if restricted else _unrestricted_energy,
                             B64, F[o, v] if restricted else F[o, v],
                             keep_disconnected=settings.keep_disconnected)
+        energy32_fn = partial(_restricted_energy if restricted else _unrestricted_energy,
+                              B32, F32[o, v],
+                              keep_disconnected=settings.keep_disconnected)
 
         n1 = t1_0.size
 
@@ -1164,58 +1184,79 @@ def _build_newton_fn(settings: CCSettings):
             finally:
                 if token is not None:
                     _EINSUM_IMPL.reset(token)
-            dE = En - E
-
             r_norm = jnp.linalg.norm(r2.ravel())
             if with_singles:
                 r_norm = jnp.maximum(r_norm, jnp.linalg.norm(r1.ravel()))
-            # The Phi(t)-t residual bounds the remaining energy error: the
-            # amplitude error is delta_t ~ (I-Phi')^-1 r and the energy is
-            # linear in delta_t to leading order, so |<dE/dt, r>| (one f64
-            # jvp of the energy, ~2 extra contractions) estimates the
-            # remaining energy error directly.  Certifying on it (with a
-            # 10x margin for the (I-Phi')^-1 amplification) skips the final
-            # Newton pass a step-to-step |dE| check would need -- dE lags
-            # one full ~6 ms residual evaluation behind the truth.
-            _, e_lin = jax.jvp(lambda a, b: energy_fn(t1=a, t2=b)[0],
-                               (t1, t2), (r1, r2))
+            is_failed = ~jnp.all(jnp.isfinite(r2)) | (jnp.abs(En) > 1000.0)
+
+            # Correction equation in f32: (I - Phi') s = r, solved EVERY
+            # step (no certify-only skip): convergence is certified on the
+            # energy the SOLVED correction would move, |<dE/dt, s>| with
+            # s = J^-1 r -- the properly (I-Phi')^-1-amplified estimate.
+            # (Certifying on <dE/dt, r> under-estimated that error by the
+            # Jacobian inverse, which forced an extra full f64 residual
+            # pass: a ~2 ms GMRES saved at the cost of a ~7 ms step.)
+            t1_32 = jnp.asarray(t1, dtype=f32)
+            t2_32 = jnp.asarray(t2, dtype=f32)
+
+            def matvec(u):
+                s1, s2 = unpack(u)
+                _, (j1, j2) = jax.jvp(
+                    lambda a, b: phi(B32, F32, d132, d232, a, b, aux32),
+                    (t1_32, t2_32), (s1, s2))
+                return u - pack(j1, j2)
+
+            rhs = pack(jnp.asarray(r1, dtype=f32),
+                       jnp.asarray(r2, dtype=f32))
+            s_u, L = _gmres_static(matvec, rhs, return_residual=True)
+            if _NEWTON_QUAD:
+                # Post-update residual estimate r(t+s) = L + q with
+                # q = (1/2) Phi''(t)[s,s] via nested f32 jvp; one short
+                # second solve J s2 = L + q cancels it (see the
+                # _NEWTON_QUAD note above).
+                c1, c2 = unpack(s_u)
+
+                def dphi(a, b):
+                    return jax.jvp(
+                        lambda x, y: phi(B32, F32, d132, d232, x, y,
+                                         aux32),
+                        (a, b), (c1, c2))[1]
+
+                q1, q2 = jax.jvp(dphi, (t1_32, t2_32), (c1, c2))[1]
+                r_next = L + 0.5 * pack(q1, q2)
+                s_u = s_u + _gmres_static(matvec, r_next,
+                                          m=_GMRES_QUAD_KRYLOV)
+            s1_32, s2_32 = unpack(s_u)
+
+            # Energy certification in f32: e_lin = <dE/dt, s> is a
+            # DERIVATIVE evaluated at the f32 iterate, not a difference of
+            # O(1) energies -- its f32 round-off is ~sqrt(K) eps |dE/dt||s|
+            # ~ 1e-14 Ha at |s| ~ amp_conv, far below the 1e-9 contract.
+            _, e_lin32 = jax.jvp(
+                lambda a, b: energy32_fn(t1=a, t2=b)[0],
+                (t1_32, t2_32), (s1_32, s2_32))
+            e_lin = jnp.where(jnp.isfinite(e_lin32), e_lin32, 0.0).astype(f64)
+            En_corr = En + jnp.where(is_failed, 0.0, e_lin)
+            dE = En_corr - E
             e_err = jnp.abs(e_lin)
             is_conv = (r_norm < amp_conv) & ((jnp.abs(dE) < energy_conv)
                                              | (r_norm < 0.1 * energy_conv)
-                                             | (e_err < 0.1 * energy_conv))
-            is_failed = ~jnp.all(jnp.isfinite(r2)) | (jnp.abs(En) > 1000.0)
+                                             | (e_err < 0.5 * energy_conv))
 
-            advance = ~is_conv & ~is_failed
-
-            # Correction equation in f32: (I - Phi') s = r.  Guarded by
-            # lax.cond so the FINAL Newton pass -- which only certifies
-            # convergence of the previous step's residual -- skips the ~10
-            # jvp matvecs of a GMRES solve whose correction would be thrown
-            # away (measured: the last step's GMRES was ~1/3 of the whole
-            # finisher's cost).
-            def correct(t1_64, t2_64, rr1, rr2):
-                t1_32 = jnp.asarray(t1_64, dtype=f32)
-                t2_32 = jnp.asarray(t2_64, dtype=f32)
-
-                def matvec(u):
-                    s1, s2 = unpack(u)
-                    _, (j1, j2) = jax.jvp(
-                        lambda a, b: phi(B32, F32, d132, d232, a, b, aux32),
-                        (t1_32, t2_32), (s1, s2))
-                    return u - pack(j1, j2)
-
-                rhs = pack(jnp.asarray(rr1, dtype=f32),
-                           jnp.asarray(rr2, dtype=f32))
-                s1, s2 = unpack(_gmres_static(matvec, rhs))
-                return (t1_64 + s1.astype(f64) if with_singles else t1_64,
-                        t2_64 + s2.astype(f64))
-
-            t1n, t2n = jax.lax.cond(
-                advance, correct, lambda a, b, c, d: (a, b), t1, t2, r1, r2)
+            # Always APPLY the correction (unless the step failed): at a
+            # certifying step s ~ J^-1 r with r ~ amp_conv only moves the
+            # amplitudes toward the fixed point, so the post-loop f64
+            # energy is evaluated at a strictly better iterate.
+            ok = ~is_failed
+            if with_singles:
+                t1n = jnp.where(ok, t1 + s1_32.astype(f64), t1)
+            else:
+                t1n = t1
+            t2n = jnp.where(ok, t2 + s2_32.astype(f64), t2)
 
             hist = jnp.roll(hist, -1, axis=0).at[-1].set(
-                jnp.stack([En, dE, r_norm.astype(f64)]))
-            return step + 1, En, t1n, t2n, is_conv, is_failed, hist
+                jnp.stack([En_corr, dE, r_norm.astype(f64)]))
+            return step + 1, En_corr, t1n, t2n, is_conv, is_failed, hist
 
         def cond(carry):
             step, conv, failed = carry[0], carry[4], carry[5]
