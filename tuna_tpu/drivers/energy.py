@@ -199,14 +199,16 @@ def calculate_energy(calculation, atomic_symbols, coordinates, P_guess=None,
         import os as _os
         if (plan.lmax >= 3 and _jax.default_backend() != "cpu"
                 and _os.environ.get("TUNA_TPU_ERI_DEVICE") != "1"):
-            # The f-shell quartet kernel is routed to the host CPU backend
-            # for STORED integrals (ops/integrals.py), but DIRECT traces the
-            # sweep INSIDE the jitted SCF loop where no host fallback is
-            # possible -- it would hit the known TPU worker fault.
+            # STORED f-shell integrals generate on device via the dispatch-
+            # per-chunk sweep (ops/integrals.py), but DIRECT traces the
+            # chunked sweep INSIDE the jitted SCF while_loop, where it
+            # becomes exactly the scanned-sweep program class that faults
+            # the TPU worker (tools/eri_fault_bisect.py stage 8).
             error('The "DIRECT" keyword is not available for f-shell and '
-                  "higher basis sets on the TPU backend (the on-device "
-                  "quartet kernel is disabled there); remove DIRECT or run "
-                  "on the CPU backend.")
+                  "higher basis sets on the TPU backend (the in-loop "
+                  "scanned quartet sweep faults the TPU runtime; stored "
+                  "integrals run fine); remove DIRECT or run on the CPU "
+                  "backend.")
         fock_closure = plan.fock_closure(
             None if calculation.cartesian_harmonics
             else molecule.spherical_transformation)

@@ -233,18 +233,24 @@ class IntegralPlan:
         self.eri_row_chunk = eri_row_chunk
 
         self._one_electron = jax.jit(self._one_electron_impl)
-        # The TPU runtime faults on the ERI kernel for f-and-higher shells
-        # (observed as "TPU worker process crashed" at lmax >= 3 regardless of
-        # chunk size); generate those integrals on the host CPU backend and
-        # let XLA transfer the tensor -- integral generation is a one-time
-        # cost per geometry shape, the solver loops stay on the accelerator.
-        # TUNA_TPU_ERI_DEVICE=1 forces the on-device path (fault triage).
+        # The TPU runtime faults on the lax.scan-over-chunks ERI program for
+        # f-and-higher shells (lmax >= 3) while the identical single-chunk
+        # program runs fine (tools/eri_fault_bisect.py).  Default for those
+        # shells on accelerators is therefore the dispatch-per-chunk sweep
+        # (same math, one jitted call per row chunk).  Overrides via
+        # TUNA_TPU_ERI_DEVICE: "1" forces the scanned on-device path (fault
+        # triage), "host" forces the round-3 host-CPU fallback.
         import os
+        eri_mode = os.environ.get("TUNA_TPU_ERI_DEVICE", "")
         eri_backend = None
         if (self.lmax >= 3 and jax.default_backend() != "cpu"
-                and os.environ.get("TUNA_TPU_ERI_DEVICE") != "1"):
-            eri_backend = "cpu"
-        if eri_backend == "cpu":
+                and eri_mode != "1"):
+            eri_backend = "cpu" if eri_mode == "host" else "dispatch"
+        if eri_backend == "dispatch":
+            self._eri = self._eri_dispatch
+            self._eri_pair = self._eri_pair_dispatch
+            self._fock_direct = self._fock_direct_dispatch
+        elif eri_backend == "cpu":
             # CRITICAL: the fallback returns arrays COMMITTED to the CPU
             # device; leaking them downstream silently drags the entire
             # SCF/CC pipeline onto the CPU backend (found in round 3: every
@@ -606,7 +612,12 @@ class IntegralPlan:
         self._fock_closures = cached
         return closure
 
-    def _fock_direct_impl(self, coords, P):
+    def _fock_sweep(self, coords, P):
+        """Shared pieces of the direct Fock build: (rows pytree, chunk body,
+        initial carry).  The scan path (`_fock_direct_impl`) folds the body
+        with `lax.scan`; the dispatch path (`_fock_direct_dispatch`) folds it
+        one jitted call per chunk for backends where the scanned program
+        faults."""
         rows, chunk_values, dtype = self._sweep_rows(coords)
         N = self.n_basis
         kcol, lcol = self.pid_i, self.pid_j       # column pair AOs (k >= l)
@@ -646,13 +657,94 @@ class IntegralPlan:
 
         carry0 = (jnp.zeros(self.n_pairs, dtype=dtype),
                   jnp.zeros((N, N), dtype=dtype))
-        (J_pair, K), _ = jax.lax.scan(chunk_body, carry0, rows)
+        return rows, chunk_body, carry0
 
-        # unpack the J pair vector symmetrically
-        J = jnp.zeros((N, N), dtype=dtype)
+    def _fock_unpack(self, J_pair, K):
+        """Expand the packed J pair vector symmetrically."""
+        N = self.n_basis
+        J = jnp.zeros((N, N), dtype=J_pair.dtype)
         J = J.at[self.pid_i, self.pid_j].set(J_pair)
         J = J + jnp.triu(J.T, k=1)
         return J, K
+
+    def _fock_direct_impl(self, coords, P):
+        rows, chunk_body, carry0 = self._fock_sweep(coords, P)
+        (J_pair, K), _ = jax.lax.scan(chunk_body, carry0, rows)
+        return self._fock_unpack(J_pair, K)
+
+    # ------------------------------------------------------------------
+    # Dispatch-per-chunk sweep: same math as the scan paths, but each row
+    # chunk is one jitted call driven from Python with a donated carry.
+    # The TPU runtime faults on the lax.scan-over-chunks program at
+    # lmax >= 3 (f shells) while the identical single-chunk program runs
+    # fine (tools/eri_fault_bisect.py: stages 1-7 pass on the chip, stage
+    # 8 -- the scanned sweep -- kills the worker), so f-shell ERIs use
+    # this path on accelerators.  Dispatches are asynchronous; the chunk
+    # index is passed as a traced scalar so ONE compiled step serves all
+    # chunks.
+    # ------------------------------------------------------------------
+
+    @property
+    def _n_row_chunks(self):
+        R = self.eri_row_chunk
+        return (self.n_prim_pairs + R - 1) // R
+
+    def _dispatch_steps(self):
+        steps = self.__dict__.get("_dispatch_steps_cache")
+        if steps is not None:
+            return steps
+
+        def index_row(rows, i):
+            return jax.tree_util.tree_map(
+                lambda v: jax.lax.dynamic_index_in_dim(v, i, keepdims=False),
+                rows)
+
+        @partial(jax.jit, donate_argnums=0)
+        def eri_step(carry, coords, i):
+            rows, chunk_values, _ = self._sweep_rows(coords)
+            row = index_row(rows, i)
+            return carry.at[row["pid"]].add(chunk_values(row))
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def fock_step(J_pair, K, coords, P, i):
+            rows, chunk_body, _ = self._fock_sweep(coords, P)
+            row = index_row(rows, i)
+            (J_pair, K), _ = chunk_body((J_pair, K), row)
+            return J_pair, K
+
+        fock_finish = jax.jit(self._fock_unpack)
+        steps = (eri_step, fock_step, fock_finish)
+        self._dispatch_steps_cache = steps
+        return steps
+
+    def _eri_pair_dispatch(self, coords):
+        eri_step, _, _ = self._dispatch_steps()
+        coords = jnp.asarray(coords)
+        out = jnp.zeros((self.n_pairs, self.n_pairs), dtype=self.coef.dtype)
+        for i in range(self._n_row_chunks):
+            out = eri_step(out, coords, np.int32(i))
+        return out
+
+    def _eri_dispatch(self, coords):
+        out = self._eri_pair_dispatch(coords)
+        expand = self.__dict__.get("_eri_expand")
+        if expand is None:
+            pidx = jnp.array(self.pair_index)
+            expand = jax.jit(lambda o: o[pidx[:, :, None, None],
+                                         pidx[None, None, :, :]])
+            self._eri_expand = expand
+        return expand(out)
+
+    def _fock_direct_dispatch(self, coords, P):
+        _, fock_step, fock_finish = self._dispatch_steps()
+        coords = jnp.asarray(coords)
+        P = jnp.asarray(P)
+        dtype = self.coef.dtype
+        J_pair = jnp.zeros(self.n_pairs, dtype=dtype)
+        K = jnp.zeros((self.n_basis, self.n_basis), dtype=dtype)
+        for i in range(self._n_row_chunks):
+            J_pair, K = fock_step(J_pair, K, coords, P, np.int32(i))
+        return fock_finish(J_pair, K)
 
 
 def cross_overlap(basis_functions_1, basis_functions_2) -> np.ndarray:
