@@ -61,13 +61,13 @@ def test_newton_matches_f64_solver(n2_sto3g, method):
     dummy, d3 = jnp.zeros((1, 1)), jnp.zeros((1,))
 
     # Reference: pure f64 while_loop solve
-    (n64, conv64, fail64, E64, t1_64, t2_64, _, _) = solver(
+    (n64, conv64, fail64, E64, t1_64, t2_64, _, _, _) = solver(
         g, F, d1, d2, t1_0, t2_0, dummy, dummy, dummy, d3, 1e-10, 1e-8)
     assert bool(conv64) and not bool(fail64)
 
     # Production path: f32 warm solve, then the Newton finisher
     f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
-    (nw, convw, failw, _, t1_w, t2_w, _, _) = solver(
+    (nw, convw, failw, _, t1_w, t2_w, _, _, _) = solver(
         f32(g), f32(F), f32(d1), f32(d2), f32(t1_0), f32(t2_0),
         f32(dummy), f32(dummy), f32(dummy), f32(d3), 1e-7, 1e-5)
     assert bool(convw) and not bool(failw)
@@ -98,12 +98,12 @@ def test_newton_with_ozaki_residual(n2_sto3g):
     t1_0 = d1 * F[o, v]
     t2_0 = g[o, o, v, v] * d2
     dummy, d3 = jnp.zeros((1, 1)), jnp.zeros((1,))
-    (_, conv64, _, E64, _, t2_64, _, _) = solver(
+    (_, conv64, _, E64, _, t2_64, _, _, _) = solver(
         g, F, d1, d2, t1_0, t2_0, dummy, dummy, dummy, d3, 1e-10, 1e-8)
     assert bool(conv64)
 
     f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
-    (_, convw, _, _, t1_w, t2_w, _, _) = solver(
+    (_, convw, _, _, t1_w, t2_w, _, _, _) = solver(
         f32(g), f32(F), f32(d1), f32(d2), f32(t1_0), f32(t2_0),
         f32(dummy), f32(dummy), f32(dummy), f32(d3), 1e-6, 1e-4)
     assert bool(convw)
@@ -128,7 +128,7 @@ def test_newton_from_unconverged_start(n2_sto3g):
     t1_0 = d1 * F[o, v]
     t2_0 = g[o, o, v, v] * d2
     dummy, d3 = jnp.zeros((1, 1)), jnp.zeros((1,))
-    (_, conv64, _, E64, _, _, _, _) = solver(
+    (_, conv64, _, E64, _, _, _, _, _) = solver(
         g, F, d1, d2, t1_0, t2_0, dummy, dummy, dummy, d3, 1e-10, 1e-8)
     assert bool(conv64)
 

@@ -48,7 +48,7 @@ def main():
     mol = Molecule(["N", "N"], coords, cfg)
     plan = IntegralPlan(mol.cartesian_basis_functions, mol.n_atoms)
     stage(f"plan: lmax={plan.lmax} npp={plan.n_prim_pairs} "
-          f"R={plan.eri_row_chunk} chunks={plan._n_row_chunks} "
+          f"T={plan.eri_row_chunk} block_pairs={plan.n_block_pairs} "
           f"n_pairs={plan.n_pairs} eri_pair is dispatch="
           f"{plan._eri_pair == plan._eri_pair_dispatch}")
 

@@ -66,18 +66,26 @@ def main():
 
     coords_dev = jnp.asarray(mol.coordinates)
     lmax = plan.lmax
-    tmax = 2 * lmax          # matches _sweep_rows
+    tmax = 2 * lmax          # matches _sweep_blocks
     mmax = lmax
     nmax4 = 4 * lmax
     vmax4 = 2 * tmax
 
-    # Host-side: reproduce _sweep_rows' row packing for ONE chunk.
-    rows, chunk_values, dtype = plan._sweep_rows(coords_dev)
-    row0 = {k: v[0] for k, v in rows.items()}
+    # Host-side: stage ONE block pair of the parity-blocked sweep.  The
+    # stages below rebuild the same intermediates on a (T, T) quartet block
+    # (round 4 used a (R, npp) row chunk; the program class is identical).
+    block_rows, block_values, dtype = plan._sweep_blocks(coords_dev)
+    bp0 = plan._qt_block_pairs[0]
+    row0 = jax.jit(block_rows)(np.int32(bp0[0]))
+    col0 = jax.jit(block_rows)(np.int32(bp0[1]))
     R = plan.eri_row_chunk
     npp = plan.n_prim_pairs
     hx, hy, hz, p, Pz = plan._pair_data(coords_dev)
-    stage(f"row chunk staged: R={R} npp={npp} tmax={tmax} nmax4={nmax4}")
+    # the stages' column arrays: the first block's gathered data
+    p_cols = col0["p"]
+    Pz_cols = col0["Pz"]
+    hx_cols = col0["hx"]
+    stage(f"block staged: T={R} npp={npp} tmax={tmax} nmax4={nmax4}")
 
     def fetch(x, label):
         t0 = time.time()
@@ -87,7 +95,7 @@ def main():
     # --- stage 1: ratios + g products -------------------------------------
     def g_products(row):
         p12 = row["p"][:, None]
-        q34 = p[None, :]
+        q34 = p_cols[None, :]
         psum = p12 + q34
         ratio12 = q34 / psum
         sqrt_r12 = jnp.sqrt(ratio12)
@@ -112,7 +120,7 @@ def main():
 
     def coupling(row):
         p12 = row["p"][:, None]
-        q34 = p[None, :]
+        q34 = p_cols[None, :]
         psum = p12 + q34
         sqrt_r12 = jnp.sqrt(q34 / psum)
         outs = [jnp.ones_like(sqrt_r12)]
@@ -120,7 +128,7 @@ def main():
             outs.append(outs[-1] * sqrt_r12)
         r12_half = jnp.stack(outs, axis=-1)
         gx12 = row["hx"][:, None, :] * r12_half
-        gx34 = hx[None, :, :] * r12_half  # same shapes as the real kernel
+        gx34 = hx_cols[None, :, :] * r12_half  # same shapes as the real kernel
         return jnp.einsum("rct,rcu,tuT->rcT", gx12, gx34, conv_T)
 
     if START <= 2:
@@ -148,10 +156,10 @@ def main():
     # --- stage 4: Rz table at full chunk width ------------------------------
     def rz_full(row):
         p12 = row["p"][:, None]
-        q34 = p[None, :]
+        q34 = p_cols[None, :]
         psum = p12 + q34
         alpha = p12 * q34 / psum
-        PQz = row["Pz"][:, None] - Pz[None, :]
+        PQz = row["Pz"][:, None] - Pz_cols[None, :]
         Rz = build_scaled_Rz_table(vmax4, nmax4, PQz.reshape(-1),
                                    alpha.reshape(-1))
         return Rz.sum()
@@ -167,10 +175,10 @@ def main():
 
     def total_einsum(row):
         p12 = row["p"][:, None]
-        q34 = p[None, :]
+        q34 = p_cols[None, :]
         psum = p12 + q34
         alpha = p12 * q34 / psum
-        PQz = row["Pz"][:, None] - Pz[None, :]
+        PQz = row["Pz"][:, None] - Pz_cols[None, :]
         Rz = build_scaled_Rz_table(vmax4, nmax4, PQz.reshape(-1),
                                    alpha.reshape(-1))
         Rz = Rz.reshape(PQz.shape + (vmax4 + 1, nmax4 + 1)) * vn_mask
@@ -187,17 +195,18 @@ def main():
     # --- stage 6: segment_sum -----------------------------------------------
     def seg(row):
         vals = total_einsum(row)
-        return jax.ops.segment_sum(vals.T, plan.pair_id,
+        return jax.ops.segment_sum(vals.T, col0["pid"],
                                    num_segments=plan.n_pairs).T.sum()
 
     if START <= 6:
         stage("stage6 segment_sum (fault window)...")
         fetch(jax.jit(seg)(row0), "stage6")
 
-    # --- stage 7: one real chunk_values -------------------------------------
+    # --- stage 7: one real block_values -------------------------------------
     if START <= 7:
-        stage("stage7 real chunk_values, one chunk (fault window)...")
-        fetch(jax.jit(lambda r: chunk_values(r).sum())(row0), "stage7")
+        stage("stage7 real block_values, one block pair (fault window)...")
+        fetch(jax.jit(lambda r, c: block_values(r, c).sum())(row0, col0),
+              "stage7")
 
     # --- stage 8: the full packed sweep --------------------------------------
     if START <= 8:

@@ -177,12 +177,10 @@ def calculate_energy(calculation, atomic_symbols, coordinates, P_guess=None,
         # UHF-reference CC/CI runs get their spin-orbital <pq|rs> transform-
         # direct too (transforms.transform_direct_so_physicists); the
         # spin-orbital MPn densities still consume the spin-blocked AO
-        # tensor itself (post/mp.py) and stay excluded.
-        _DIRECT_OK_UHF = {
-            "HF", "UHF", "CID", "CISD", "CCD", "CEPA", "CEPA0", "CEPA[0]",
-            "CEPA(0)", "LCCD", "LCCSD", "QCISD", "QCISD[T]", "QCISD(T)",
-            "CCSD", "CCSD[T]", "CCSD(T)",
-        }
+        # tensor itself (post/mp.py) and stay excluded -- derive the UHF set
+        # from the restricted one so the two cannot drift.
+        _MPN_NAMES = {"MP2", "SCS-MP2", "MP3", "SCS-MP3", "MP4"}
+        _DIRECT_OK_UHF = _DIRECT_OK - _MPN_NAMES - {"RHF"}
         if (calculation.DFT_calculation or name not in _DIRECT_OK
                 or (calculation.reference != "RHF"
                     and name not in _DIRECT_OK_UHF)):

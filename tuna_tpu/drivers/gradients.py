@@ -11,9 +11,13 @@ energy-weighted density W:
 Every integral derivative comes from jax.grad through the on-device
 integral engine -- no finite differences and no CPHF solve.  This replaces
 the reference's central-difference gradient (tuna_opt.py:37-76; two full SCF
-solves per gradient) for Hartree-Fock calculations; correlated and DFT
-methods fall back to the finite-difference path, which also remains as a
-validation mode (tests/test_drivers.py cross-checks the two).
+solves per gradient) for Hartree-Fock AND Kohn-Sham calculations (pure,
+hybrid and meta-GGA functionals, including the moving-grid/Becke-weight
+derivative terms); `analytic_gradient_available` below is the exact gate.
+Correlated methods, VV10/double-hybrid functionals, ghost-atom grids and
+decontracted/extrapolated runs fall back to the finite-difference path,
+which also remains as a validation mode (tests/test_drivers.py cross-checks
+the two).
 """
 
 from __future__ import annotations

@@ -470,7 +470,7 @@ def _batched_restricted_cc(calculation, molecule, ERI_b, mos, eps,
         t_ia = e_ia * F[o_full, v_full]
         t_ijab = g[o_full, o_full, v_full, v_full] * e_ijab
         g_l, F_l = (g[s:, s:, s:, s:], F[s:, s:]) if s else (g, F)
-        (n_steps, conv, failed, E_CC, t1, t2, stats, parts) = solver_fn(
+        (n_steps, conv, failed, E_CC, t1, t2, stats, parts, _) = solver_fn(
             g_l, F_l, e_ia, e_ijab, t_ia, t_ijab, dummy, dummy, dummy,
             d3_dummy, calculation.energy_convergence, calculation.amp_conv)
         E = E_CC
@@ -638,7 +638,7 @@ def _batched_unrestricted_corr(calculation, molecule, meta, orbitals):
         e_ia = transforms.singles_epsilons(eps_sorted, o_full, v_full)
         t_ia = e_ia * F[o_full, v_full]
         g_l, F_l = (g[s:, s:, s:, s:], F[s:, s:]) if s else (g, F)
-        (n_steps, conv, failed, E_CC, t1, t2, stats, parts) = solver_fn(
+        (n_steps, conv, failed, E_CC, t1, t2, stats, parts, _) = solver_fn(
             g_l, F_l, e_ia, e_ijab, t_ia, t_ijab, dummy, dummy, dummy,
             d3_dummy, calculation.energy_convergence, calculation.amp_conv)
         E = E_CC

@@ -867,6 +867,19 @@ def _warm_ozaki_blocks(B, F, no, nv):
     ks = {no, nv, no * no, no * nv, nv * nv, no * no * nv, no * nv * nv}
     ozaki.warm_presplits(list(B.values()) + [F], sorted(ks))
 
+def _guess_mp2_energy(settings: CCSettings, g, F, t1_0, t2_0):
+    """Energy of the MP2 guess amplitudes (t1 = 0), traced INSIDE the solver
+    programs so the CLI's "Guess t-amplitude MP2 energy" print costs no
+    separate device dispatch (each tunnel round trip is ~25 ms)."""
+    o, v = slice(0, settings.n_occ), slice(settings.n_occ, None)
+    blocks = _restricted_blocks if settings.restricted else _unrestricted_blocks
+    B = blocks(g, o, v)
+    energy_fn = partial(
+        _restricted_energy if settings.restricted else _unrestricted_energy,
+        B, F[o, v], keep_disconnected=settings.keep_disconnected)
+    return energy_fn(t1=jnp.zeros_like(t1_0), t2=t2_0)[0]
+
+
 def _build_cc_solver_fn(settings: CCSettings):
     """The full iteration (update + energy + DIIS + damping + convergence)
     as one on-device while_loop (unjitted; see get_cc_solver)."""
@@ -983,8 +996,9 @@ def _build_cc_solver_fn(settings: CCSettings):
         # Undo the shift-down storage: iteration i lands at row i
         stats = jnp.roll(stats, step - 1, axis=0)
         E_total, E_s, E_c, E_d = energy_fn(t1=t1, t2=t2)
+        e_guess = energy_fn(t1=jnp.zeros_like(t1_0), t2=t2_0)[0]
         return (step - 1, conv, failed, E, t1, t2, stats,
-                jnp.stack([E_s, E_c, E_d]))
+                jnp.stack([E_s, E_c, E_d]), e_guess)
 
     return solver
 
@@ -1235,7 +1249,13 @@ def _build_newton_fn(settings: CCSettings):
             _, e_lin32 = jax.jvp(
                 lambda a, b: energy32_fn(t1=a, t2=b)[0],
                 (t1_32, t2_32), (s1_32, s2_32))
-            e_lin = jnp.where(jnp.isfinite(e_lin32), e_lin32, 0.0).astype(f64)
+            # A non-finite GMRES correction or energy estimate means the f32
+            # solve diverged: route to the pure-f64 fallback solver instead
+            # of masking it to zero (which would let the 'e_err < tol'
+            # convergence branch certify NaN amplitudes).
+            corr_finite = jnp.all(jnp.isfinite(s_u)) & jnp.isfinite(e_lin32)
+            is_failed = is_failed | ~corr_finite
+            e_lin = jnp.where(corr_finite, e_lin32, 0.0).astype(f64)
             En_corr = En + jnp.where(is_failed, 0.0, e_lin)
             dE = En_corr - E
             e_err = jnp.abs(e_lin)
@@ -1243,20 +1263,25 @@ def _build_newton_fn(settings: CCSettings):
                                              | (r_norm < 0.1 * energy_conv)
                                              | (e_err < 0.5 * energy_conv))
 
-            # Always APPLY the correction (unless the step failed): at a
-            # certifying step s ~ J^-1 r with r ~ amp_conv only moves the
-            # amplitudes toward the fixed point, so the post-loop f64
-            # energy is evaluated at a strictly better iterate.
-            ok = ~is_failed
+            # APPLY the correction unless the step failed, or this is a
+            # certifying step whose predicted energy move e_err exceeds the
+            # tolerance (an inaccurate f32 GMRES step on an ill-conditioned
+            # I-Phi' must not move the certified iterate by more than
+            # energy_conv after certification).  In the normal certifying
+            # case s ~ J^-1 r with r ~ amp_conv only moves the amplitudes
+            # toward the fixed point, so the post-loop f64 energy is
+            # evaluated at a strictly better iterate.
+            ok = ~is_failed & (~is_conv | (e_err < energy_conv))
             if with_singles:
                 t1n = jnp.where(ok, t1 + s1_32.astype(f64), t1)
             else:
                 t1n = t1
             t2n = jnp.where(ok, t2 + s2_32.astype(f64), t2)
+            En_out = En + jnp.where(ok, e_lin, 0.0)
 
             hist = jnp.roll(hist, -1, axis=0).at[-1].set(
-                jnp.stack([En_corr, dE, r_norm.astype(f64)]))
-            return step + 1, En_corr, t1n, t2n, is_conv, is_failed, hist
+                jnp.stack([En_out, dE, r_norm.astype(f64)]))
+            return step + 1, En_out, t1n, t2n, is_conv, is_failed, hist
 
         def cond(carry):
             step, conv, failed = carry[0], carry[4], carry[5]
@@ -1320,7 +1345,10 @@ def _build_production_fn(settings: CCSettings):
         n_warm = jnp.where(warm_ok, n_warm, 0)
         out = finish_fn(g, F, d1, d2, t1w, t2w, ERI_AO, C, H_core, d3,
                         energy_conv, amp_conv)
-        return (n_warm, warm_ok, warm[6]) + out
+        # f64 guess energy for the CLI print, traced into the same program
+        # (the warm solver's trailing e_guess is f32; recompute in f64).
+        e_guess = _guess_mp2_energy(settings, g, F, t1_0, t2_0)
+        return (n_warm, warm_ok, warm[6]) + out + (e_guess,)
 
     return production
 
@@ -1343,20 +1371,15 @@ def get_production_solver(settings: CCSettings):
 _NO_SINGLES = ("LCCD", "CCD", "CID")
 
 
-def _initial_print(g, o, v, t_ijab, reference, method, calculation, silent):
+def _initial_print(E_MP2, method, calculation, silent):
+    """Pre-iteration banner.  E_MP2 (the guess-amplitude energy) is computed
+    INSIDE the solver's jitted program and passed in here as a plain float --
+    the old eager einsum cost one extra ~25 ms tunnel dispatch per CC solve."""
     log_spacer(calculation, silent=silent, start="\n")
     log(f"              {method.name:>5} Energy and Density ", calculation, 1, silent=silent)
     log_spacer(calculation, silent=silent)
     log(f"  Energy convergence tolerance:        {calculation.energy_convergence:.10f}", calculation, 1, silent=silent)
     log(f"  Amplitude convergence tolerance:     {calculation.amp_conv:.10f}", calculation, 1, silent=silent)
-
-    if reference == "RHF":
-        E_MP2 = float(jnp.einsum("ijab,ijab->", t_ijab,
-                                 2 * g[o, o, v, v] - g[o, o, v, v].transpose(0, 1, 3, 2),
-                                 optimize=True))
-    else:
-        E_MP2 = 0.25 * float(jnp.einsum("ijab,ijab->", t_ijab, g[o, o, v, v],
-                                        optimize=True))
 
     log(f"\n  Guess t-amplitude MP2 energy:       {E_MP2:.10f}\n", calculation, 1, silent=silent)
     if calculation.correlated_damping_parameter != 0:
@@ -1390,8 +1413,6 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
 
     if base_name not in (_RESTRICTED_UPDATES if restricted else _UNRESTRICTED_UPDATES):
         error(f"The {base_name} method is not yet available in TUNA-TPU!")
-
-    _initial_print(g, o, v, t_ijab, calculation.reference, method, calculation, silent)
 
     dummy = jnp.zeros((1, 1))
     ERI_AO = C = H_core = dummy
@@ -1436,12 +1457,15 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
     # remains the CPU path and the fallback if either phase fails.
     n_warm = 0
     newton_done = False
+    printed_banner = False
     if jax.default_backend() != "cpu":
         production = get_production_solver(settings)
         (n_warm_j, warm_ok, _, n_newton, nconv, nfailed, E_CC, t1, t2,
-         hist, parts) = production(
+         hist, parts, e_guess) = production(
             g, F, d1, d2, t_ia, t_ijab, ERI_AO, C, H_core, d3,
             calculation.energy_convergence, calculation.amp_conv)
+        _initial_print(float(e_guess), method, calculation, silent)
+        printed_banner = True
         n_warm = int(n_warm_j)
         if n_warm:
             log(f"  (Warmed up amplitudes with {n_warm} single-precision "
@@ -1459,9 +1483,12 @@ def calculate_coupled_cluster_energy(g, o, v, t_amplitudes, e_denominators, F,
             t_ijab = jnp.asarray(t2, dtype=t_ijab.dtype)
 
     if not newton_done:
-        (n_steps, converged, failed, E_CC, t1, t2, stats, parts) = solver(
+        (n_steps, converged, failed, E_CC, t1, t2, stats, parts,
+         e_guess) = solver(
             g, F, d1, d2, t_ia, t_ijab, ERI_AO, C, H_core, d3,
             calculation.energy_convergence, calculation.amp_conv)
+        if not printed_banner:
+            _initial_print(float(e_guess), method, calculation, silent)
 
         n_steps = int(n_steps)
         stats = np.asarray(stats)

@@ -503,8 +503,11 @@ def _make_solver(settings: TriplesSettings):
         (step, E_CC, t1, t2, t3, t4) = final[:6]
         conv, failed, stats = final[-3], final[-2], final[-1]
         E_total, E_s, E_c, E_d = energy_fn(t1, t2)
+        # Guess-amplitude MP2 energy for the CLI banner, traced into the
+        # same program so the print costs no separate device dispatch.
+        e_guess = energy_fn(jnp.zeros_like(t1_0), t2_0)[0]
         return (step - 1, conv, failed, E_CC, t1, t2, t3, t4, stats,
-                jnp.stack([E_s, E_c, E_d]))
+                jnp.stack([E_s, E_c, E_d]), e_guess)
 
     return jax.jit(solver)
 
@@ -526,8 +529,6 @@ def solve_triples_method(g, o, v, t_amplitudes, e_denominators, F, method,
     if not rank4:
         d4 = jnp.zeros((1, 1))
         t4_0 = jnp.zeros((1, 1))
-
-    _initial_print(g, o, v, t2_0, calculation.reference, method, calculation, silent)
 
     settings = TriplesSettings(
         method=base_name, restricted=restricted, rank4=rank4,
@@ -552,9 +553,11 @@ def solve_triples_method(g, o, v, t_amplitudes, e_denominators, F, method,
         C = jnp.asarray(SCF_output.molecular_orbitals)
         H_core = jnp.asarray(integrals.H_core)
 
-    (n_steps, conv, failed, E_CC, t1, t2, t3, t4, stats, parts) = solver(
+    (n_steps, conv, failed, E_CC, t1, t2, t3, t4, stats, parts,
+     e_guess) = solver(
         g, F, d1, d2, d3, d4, t1_0, t2_0, t3_0, t4_0, ERI_AO, H_core, C,
         calculation.energy_convergence, calculation.amp_conv)
+    _initial_print(float(e_guess), method, calculation, silent)
 
     n_steps = int(n_steps)
     stats = np.asarray(stats)
