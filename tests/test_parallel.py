@@ -283,3 +283,37 @@ def test_sharded_fock_build_matches_dense():
     K_ref = exchange_matrix(jnp.asarray(P), jnp.asarray(ERI))
     assert np.max(np.abs(np.asarray(J) - np.asarray(J_ref))) < 1e-10
     assert np.max(np.abs(np.asarray(K) - np.asarray(K_ref))) < 1e-10
+
+
+def test_auto_tp_mesh_thresholds(monkeypatch):
+    """auto_tp_mesh fires only above the per-device HBM budget."""
+    from tuna_tpu import parallel
+
+    monkeypatch.setenv("TUNA_TPU_HBM_BUDGET_BYTES", "1e6")
+    assert parallel.auto_tp_mesh(5e5) is None
+    mesh = parallel.auto_tp_mesh(2e6)
+    assert mesh is not None and len(mesh.devices.flat) == 8
+    assert mesh.axis_names == ("tp",)
+
+
+def test_tp_production_routing_matches_serial(monkeypatch):
+    """With the HBM budget forced low, the stored-ERI SCF shards its
+    two-electron tensor (parallel.fock_build_sharded) and the DIRECT MP2
+    routes its MO transform through pair_packed_to_mo_sharded -- the
+    production tensor-parallel paths -- and both match the serial result."""
+    from tuna_tpu.cli import run
+    from tuna_tpu.drivers import common
+    from tuna_tpu.scf import _KERNEL_CACHE
+
+    monkeypatch.setenv("TUNA_TPU_HBM_BUDGET_BYTES", "1000")
+    E_tp_scf = run("SPE : N N 1.1 : HF 6-31G : TIGHTSCF",
+                   suppress_output=True)[2]
+    E_tp_mp2 = run("SPE : N N 1.1 : MP2 6-31G : DIRECT TIGHTSCF",
+                   suppress_output=True)[2]
+    monkeypatch.delenv("TUNA_TPU_HBM_BUDGET_BYTES")
+    E_scf = run("SPE : N N 1.1 : HF 6-31G : TIGHTSCF",
+                suppress_output=True)[2]
+    E_mp2 = run("SPE : N N 1.1 : MP2 6-31G : DIRECT TIGHTSCF",
+                suppress_output=True)[2]
+    assert abs(float(E_tp_scf) - float(E_scf)) < 1e-9
+    assert abs(float(E_tp_mp2) - float(E_mp2)) < 1e-9

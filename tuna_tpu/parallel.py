@@ -29,6 +29,34 @@ def device_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devices[:n]), (axis,))
 
 
+# Per-device HBM working budget used to decide when a tensor must be sharded
+# across the mesh instead of replicated (v5e chips carry 16 GB; leave room
+# for the executable + working set).  Override for tests / other parts.
+_HBM_BUDGET_ENV = "TUNA_TPU_HBM_BUDGET_BYTES"
+_HBM_BUDGET_DEFAULT = 10e9
+
+
+def tp_hbm_budget_bytes() -> float:
+    import os
+    return float(os.environ.get(_HBM_BUDGET_ENV, _HBM_BUDGET_DEFAULT))
+
+
+def auto_tp_mesh(n_bytes: float, axis: str = "tp") -> Mesh | None:
+    """A 1-D tensor-parallel Mesh over all visible devices when the given
+    tensor size exceeds the per-device HBM budget and more than one device
+    is visible; None otherwise (the serial single-device path).
+
+    This is the production router for the over-HBM paths: the stored-ERI
+    Fock build (`fock_build_sharded`) and the transform-direct MO transform
+    (`ops.motransform.pair_packed_to_mo_sharded`) -- SURVEY.md section 2.3's
+    TP mapping (cc-pV6Z ERI = 32 GB, reference Manual section 7.2).
+    """
+    devices = jax.devices()
+    if len(devices) < 2 or n_bytes <= tp_hbm_budget_bytes():
+        return None
+    return Mesh(np.array(devices), (axis,))
+
+
 def fock_build_sharded(ERI, P_total, mesh: Mesh | None = None, axis: str = "tp"):
     """Coulomb and exchange matrices with the ERI tensor sharded over chips.
 
@@ -45,8 +73,18 @@ def fock_build_sharded(ERI, P_total, mesh: Mesh | None = None, axis: str = "tp")
 
     if mesh is None:
         mesh = Mesh(np.array(jax.devices()), (axis,))
+    n_dev = int(np.prod(mesh.devices.shape))
     spec_rows = PartitionSpec(axis)
     spec_full = PartitionSpec()
+
+    # shard_map needs the sharded axis divisible by the mesh size; pad the
+    # row axis with zero rows (zero ERI rows give zero J/K rows, sliced
+    # off).  Callers may pre-pad (jax.device_put also needs divisibility),
+    # so the true AO count is the SECOND axis.
+    N = ERI.shape[1]
+    pad = (-ERI.shape[0]) % n_dev
+    if pad:
+        ERI = jnp.pad(ERI, ((0, pad), (0, 0), (0, 0), (0, 0)))
 
     def local_rows(ERI_block, P):
         J_rows = jnp.einsum("ijkl,kl->ij", ERI_block, P, optimize=True)
@@ -55,10 +93,13 @@ def fock_build_sharded(ERI, P_total, mesh: Mesh | None = None, axis: str = "tp")
         gathered = lax.all_gather(stacked, axis, axis=1, tiled=True)
         return gathered[0], gathered[1]
 
-    return shard_map(local_rows, mesh=mesh,
+    J, K = shard_map(local_rows, mesh=mesh,
                      in_specs=(spec_rows, spec_full),
                      out_specs=(spec_full, spec_full),
                      check_rep=False)(ERI, P_total)
+    # rows may have been padded here OR pre-padded by the caller (device_put
+    # needs divisibility too) -- always slice back to the true AO count
+    return J[:N], K[:N]
 
 
 def _batched_inputs(calculation, atomic_symbols, bond_lengths):

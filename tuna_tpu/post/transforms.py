@@ -138,6 +138,38 @@ def transform_direct_mo_chemists(molecule, SCF_output, calculation):
     n_mo = int(C.shape[1])
 
     G_pair = plan.eri_pair_packed(coords)
+
+    # Tensor-parallel routing: the transform's biggest arrays are the
+    # (ao_pairs, mo_pairs) half-transform intermediate and the dense MO
+    # result; when either exceeds the per-device HBM budget and a mesh is
+    # available, shard the pair matrix's row axis over the mesh, run the
+    # two-phase sharded transform (one all_to_all reshard), and leave the
+    # expanded tensor sharded over its first MO axis (SURVEY.md section
+    # 2.3 TP mapping; cc-pV6Z ERI = 32 GB, reference Manual section 7.2).
+    from .. import parallel as _par
+    n_mo_pairs = n_mo * (n_mo + 1) // 2
+    biggest = 8.0 * max(plan.n_pairs * n_mo_pairs, float(n_mo) ** 4)
+    tp_mesh = _par.auto_tp_mesh(biggest)
+    if tp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        axis = tp_mesh.axis_names[0]
+        n_dev = len(tp_mesh.devices.flat)
+        pad = (-G_pair.shape[0]) % n_dev   # device_put needs divisibility
+        if pad:
+            G_pair = jnp.pad(G_pair, ((0, pad), (0, 0)))
+        G_pair = jax.device_put(G_pair,
+                                NamedSharding(tp_mesh, PartitionSpec(axis)))
+        G_mo = motransform.pair_packed_to_mo_sharded(
+            G_pair, plan.pair_index, W, n_mo, tp_mesh)
+        out = motransform.expand_mo_chemists(G_mo, n_mo)
+        # keep the dense tensor sharded over its first MO axis when the
+        # mesh divides it (NamedSharding requires divisibility); otherwise
+        # the expansion's own output placement stands
+        if n_mo % len(tp_mesh.devices.flat) == 0:
+            out = jax.jit(lambda x: x, out_shardings=NamedSharding(
+                tp_mesh, PartitionSpec(axis)))(out)
+        return out
+
     G_mo = motransform.pair_packed_to_mo(G_pair, jnp.asarray(plan.pair_index),
                                          W, n_mo)
     return motransform.expand_mo_chemists(G_mo, n_mo)

@@ -205,7 +205,8 @@ def _electronic_energy(P_a, P_b, J_a, J_b, K_a, K_b, T, V_NE, Fld, G,
     return total, components
 
 
-def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None):
+def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None,
+                       tp_mesh=None):
     """Build the SCF while_loop UNJITTED for a given static configuration.
 
     Batched callers (tuna_tpu.parallel) vmap this function and jit the
@@ -220,10 +221,24 @@ def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None
     N^4 tensor is never materialised; the ERI argument is then a dummy.
     Coordinates are a kernel ARGUMENT (not baked into the closure) so that
     repeated geometries (OPT/FREQ/scans) reuse one compiled kernel.
+
+    tp_mesh: a 1-D jax.sharding.Mesh -> the stored ERI tensor is treated as
+    SHARDED over the mesh's axis (first AO index) and J/K are built with
+    parallel.fock_build_sharded -- the over-HBM tensor-parallel path (the
+    caller device_puts the ERI with the matching NamedSharding).
     """
     restricted = settings.reference == "RHF"
     N = settings.n_basis
     M = settings.max_diis
+
+    if tp_mesh is not None:
+        from .. import parallel as _par  # deferred: parallel imports scf
+
+        def _jk(P_spin, ERI):
+            return _par.fock_build_sharded(ERI, P_spin, tp_mesh)
+    else:
+        def _jk(P_spin, ERI):
+            return coulomb_matrix(P_spin, ERI), exchange_matrix(P_spin, ERI)
 
     def kernel(T, V_NE, ERI, S, X, Fld, G, coords, P_a0, P_b0, E0,
                HFX_prop, DFX_prop, DFC_prop,
@@ -252,8 +267,7 @@ def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None
             if fock_closure is not None:
                 J_a, K_a = fock_closure(coords, P_a)
             else:
-                J_a = coulomb_matrix(P_a, ERI)
-                K_a = exchange_matrix(P_a, ERI)
+                J_a, K_a = _jk(P_a, ERI)
             if restricted:
                 J_b, K_b = J_a, K_a
                 F_a = symmetrise(T + V_NE + Fld + G + 2.0 * J_a - K_a * HFX_prop + V_XC_a)
@@ -262,8 +276,7 @@ def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None
                 if fock_closure is not None:
                     J_b, K_b = fock_closure(coords, P_b)
                 else:
-                    J_b = coulomb_matrix(P_b, ERI)
-                    K_b = exchange_matrix(P_b, ERI)
+                    J_b, K_b = _jk(P_b, ERI)
                 F_a = symmetrise(T + V_NE + J_a + J_b + Fld + G - K_a * HFX_prop + V_XC_a)
                 F_b = symmetrise(T + V_NE + J_a + J_b + Fld + G - K_b * HFX_prop + V_XC_b)
 
@@ -393,8 +406,10 @@ def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None
     return kernel
 
 
-def _make_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
-    return jax.jit(make_scf_kernel_fn(settings, xc_closure, fock_closure))
+def _make_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None,
+                     tp_mesh=None):
+    return jax.jit(make_scf_kernel_fn(settings, xc_closure, fock_closure,
+                                      tp_mesh))
 
 
 _KERNEL_CACHE: dict = {}
@@ -410,10 +425,20 @@ def _closure_token(closure):
     return getattr(closure, "cache_token", id(closure))
 
 
-def get_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None):
-    key = (settings, _closure_token(xc_closure), _closure_token(fock_closure))
+def _mesh_token(mesh):
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat))
+
+
+def get_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None,
+                   tp_mesh=None):
+    key = (settings, _closure_token(xc_closure), _closure_token(fock_closure),
+           _mesh_token(tp_mesh))
     if key not in _KERNEL_CACHE:
-        _KERNEL_CACHE[key] = _make_scf_kernel(settings, xc_closure, fock_closure)
+        _KERNEL_CACHE[key] = _make_scf_kernel(settings, xc_closure,
+                                              fock_closure, tp_mesh)
     return _KERNEL_CACHE[key]
 
 
@@ -457,7 +482,21 @@ def run_self_consistent_field(molecule, calculation, integrals: Integrals, V_NN,
         functional_class=calculation.functional.functional_class,
     )
 
-    kernel = get_scf_kernel(settings, xc_closure, fock_closure)
+    # Tensor-parallel routing: when the stored ERI tensor exceeds the
+    # per-device HBM budget and more than one device is visible, shard its
+    # first AO axis over the mesh and build J/K with
+    # parallel.fock_build_sharded (one all_gather over ICI per build) --
+    # SURVEY.md section 2.3's TP mapping for the cc-pV5Z/6Z memory wall.
+    tp_mesh = None
+    if fock_closure is None and integrals.ERI_AO is not None:
+        from .. import parallel as _par  # deferred: parallel imports scf
+        tp_mesh = _par.auto_tp_mesh(8.0 * float(integrals.n_basis) ** 4)
+        if tp_mesh is not None:
+            log(f" Stored two-electron tensor sharded over "
+                f"{len(tp_mesh.devices.flat)} devices (tensor-parallel Fock "
+                "build).", calculation, 1, silent=silent)
+
+    kernel = get_scf_kernel(settings, xc_closure, fock_closure, tp_mesh)
 
     Fld = integrals.F if integrals.F is not None else jnp.zeros_like(integrals.S)
     G = integrals.G if integrals.G is not None else jnp.zeros_like(integrals.S)
@@ -470,6 +509,16 @@ def run_self_consistent_field(molecule, calculation, integrals: Integrals, V_NN,
 
     ERI_arg = (integrals.ERI_AO if integrals.ERI_AO is not None
                else jnp.zeros((1, 1, 1, 1)))
+    if tp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_dev = len(tp_mesh.devices.flat)
+        ERI_arg = jnp.asarray(ERI_arg)
+        pad = (-ERI_arg.shape[0]) % n_dev  # device_put needs divisibility;
+        if pad:                            # zero rows give zero J/K rows
+            ERI_arg = jnp.pad(ERI_arg, ((0, pad),) + ((0, 0),) * 3)
+        ERI_arg = jax.device_put(
+            ERI_arg,
+            NamedSharding(tp_mesh, PartitionSpec(tp_mesh.axis_names[0])))
     n_steps, converged, E, P_a, P_b, stats, outs = kernel(
         integrals.T, integrals.V_NE, ERI_arg, integrals.S, X, Fld, G,
         jnp.asarray(molecule.coordinates),
