@@ -508,6 +508,31 @@ def _t1_dressed_orbitals(C, t1, o, v):
     return X, Y
 
 
+def _t1_dressed_mo_tensor(G, t1, o, v):
+    """T1-dressed chemists' tensor from the UNDRESSED full-space MO tensor.
+
+    X = C A with A = I - (ov block) t1, Y = C B with B = I + (vo block)
+    t1^T, so the dressed tensor is four sequential one-index updates of the
+    loop-invariant MO tensor, each contracting the small t1 block:
+    O(o v n^4) total instead of the O(n^5) AO-basis rebuild per iteration
+    (`_dressed_block`); bra indices (1, 3) carry A, ket indices (2, 4) B.
+    """
+    G = G.at[v].add(jnp.einsum("ip,iqrs->pqrs", -t1, G[o], optimize=True))
+    G = G.at[:, o].add(jnp.einsum("qb,pbrs->pqrs", t1, G[:, v], optimize=True))
+    G = G.at[:, :, v].add(jnp.einsum("ir,pqis->pqrs", -t1, G[:, :, o],
+                                     optimize=True))
+    G = G.at[:, :, :, o].add(jnp.einsum("sd,pqrd->pqrs", t1, G[:, :, :, v],
+                                        optimize=True))
+    return G
+
+
+def _t1_dressed_mo_oneelectron(H_MO, t1, o, v):
+    """h_hat = A^T H_MO B with the same low-rank A/B as the tensor dressing."""
+    H = H_MO.at[v].add(jnp.einsum("ip,iq->pq", -t1, H_MO[o], optimize=True))
+    H = H.at[:, o].add(jnp.einsum("qb,pb->pq", t1, H[:, v], optimize=True))
+    return H
+
+
 def _dressed_block(ERI_AO, X, Y, s1, s2, s3, s4):
     """(X_s1 Y_s2 | X_s3 Y_s4)-transformed chemists' block of the AO ERI."""
     out = jnp.tensordot(X[:, s1], ERI_AO, axes=(0, 0))

@@ -75,13 +75,26 @@ def project_quadruples(t4):
 # Restricted CCSDT (T1-dressed)
 # ---------------------------------------------------------------------------
 
-def _restricted_ccsdt_residuals(o, v, t1, t2, t3, ERI_AO, H_core, C):
-    """T1-dressed CCSDT residuals (r1, r2, r3) plus (g_hat, F_hat, u2)."""
+def _restricted_ccsdt_residuals(o, v, t1, t2, t3, ERI_AO, H_core, C,
+                                G_MO=None, H_MO=None):
+    """T1-dressed CCSDT residuals (r1, r2, r3) plus (g_hat, F_hat, u2).
+
+    When the loop-invariant full-space chemists' MO tensor G_MO (and MO-basis
+    H_MO) are given, the per-iteration T1 dressing is four low-rank index
+    updates of G_MO -- O(o v n^4) -- instead of rebuilding from the AO
+    tensor, the O(n^5) transform the reference pays every iteration
+    (tuna_cc.py:2003-2036 vicinity).  Only valid with an unfrozen occupied
+    block (t1 spans the full occupied space)."""
     E = jnp.einsum  # local alias keeps the long contraction list readable
 
-    X, Y = _t1_dressed_orbitals(C, t1, o, v)
-    g_hat = E("ap,bq,gr,ds,abgd->pqrs", X, Y, X, Y, ERI_AO, optimize=True)
-    h_hat = X.T @ H_core @ Y
+    if G_MO is not None:
+        from .cc import _t1_dressed_mo_tensor, _t1_dressed_mo_oneelectron
+        g_hat = _t1_dressed_mo_tensor(G_MO, t1, o, v)
+        h_hat = _t1_dressed_mo_oneelectron(H_MO, t1, o, v)
+    else:
+        X, Y = _t1_dressed_orbitals(C, t1, o, v)
+        g_hat = E("ap,bq,gr,ds,abgd->pqrs", X, Y, X, Y, ERI_AO, optimize=True)
+        h_hat = X.T @ H_core @ Y
     l_hat = 2 * g_hat - g_hat.swapaxes(1, 3)
     u2 = _u_of(t2)
     u3 = 2 * t3 - t3.swapaxes(3, 4) - t3.swapaxes(3, 5)
@@ -163,9 +176,11 @@ def _restricted_ccsdt_residuals(o, v, t1, t2, t3, ERI_AO, H_core, C):
     return r1, r2, r3, g_hat, F_hat, u2
 
 
-def _restricted_ccsdt_update(o, v, d1, d2, d3, t1, t2, t3, ERI_AO, H_core, C):
+def _restricted_ccsdt_update(o, v, d1, d2, d3, t1, t2, t3, ERI_AO, H_core, C,
+                             G_MO=None, H_MO=None):
     r1, r2, r3, _, _, _ = _restricted_ccsdt_residuals(o, v, t1, t2, t3,
-                                                      ERI_AO, H_core, C)
+                                                      ERI_AO, H_core, C,
+                                                      G_MO, H_MO)
     t1n = t1 + d1 * r1
     t2n = t2 + d2 * r2
     t3n = project_triples(t3 + d3 * r3)
@@ -177,10 +192,10 @@ def _restricted_ccsdt_update(o, v, d1, d2, d3, t1, t2, t3, ERI_AO, H_core, C):
 # ---------------------------------------------------------------------------
 
 def _restricted_ccsdtq_update(o, v, d1, d2, d3, d4, t1, t2, t3, t4,
-                              ERI_AO, H_core, C):
+                              ERI_AO, H_core, C, G_MO=None, H_MO=None):
     E = jnp.einsum
     r1, r2, r3, g_hat, F_hat, u2 = _restricted_ccsdt_residuals(
-        o, v, t1, t2, t3, ERI_AO, H_core, C)
+        o, v, t1, t2, t3, ERI_AO, H_core, C, G_MO, H_MO)
 
     alpha = (2 * t4 - t4.swapaxes(4, 5) - t4.swapaxes(4, 6)
              - t4.transpose(0, 1, 2, 3, 7, 5, 6, 4))
@@ -397,17 +412,18 @@ class TriplesSettings:
 _SOLVER_CACHE: dict = {}
 
 
-def _make_solver(settings: TriplesSettings):
+def _make_setup(settings: TriplesSettings):
+    """(update, energy_fn) from the solver's array arguments -- shared by
+    the pure-f64 while_loop solver, the f32 warm phase and the Newton
+    finisher so all three trace the identical iteration math."""
     no = settings.n_occ
-    M = settings.max_diis
     rank4 = settings.rank4
 
-    def solver(g, F, d1, d2, d3, d4, t1_0, t2_0, t3_0, t4_0,
-               ERI_AO, H_core, C, energy_conv, amp_conv):
-        dtype = t2_0.dtype
+    def setup(g, F, d1, d2, d3, d4, ERI_AO, H_core, C):
         o, v = slice(0, no), slice(no, None)
         o_g = slice(settings.o_start, settings.o_start + no)
         v_g = slice(settings.o_start + no, None)
+        UB = None
         if settings.restricted:
             RB = _restricted_blocks(g, o, v)
             energy_fn = lambda t1, t2: _restricted_energy(
@@ -422,6 +438,16 @@ def _make_solver(settings: TriplesSettings):
             energy_fn = lambda t1, t2: _unrestricted_energy(
                 UB, F[o, v], t1, t2, keep_disconnected=settings.method != "CISDT")
 
+        # T1-dressing hoist: with an unfrozen occupied block the dressed
+        # integrals are low-rank updates of the LOOP-INVARIANT chemists' MO
+        # tensor (g is physicists' <pq|rs> here) -- O(o v n^4)/iteration
+        # instead of the O(n^5) AO-basis rebuild (kept as the frozen-core
+        # fallback, where t1 does not span the dressed occupied space).
+        G_MO = H_MO = None
+        if settings.restricted and settings.o_start == 0:
+            G_MO = g.swapaxes(1, 2)
+            H_MO = C.T @ H_core @ C
+
         def update(t1, t2, t3, t4):
             if settings.method == "CISDT":
                 t1n, t2n, t3n = _unrestricted_cisdt_update(
@@ -433,10 +459,28 @@ def _make_solver(settings: TriplesSettings):
                 return t1n, t2n, t3n, t4
             if not rank4:
                 t1n, t2n, t3n = _restricted_ccsdt_update(
-                    o_g, v_g, d1, d2, d3, t1, t2, t3, ERI_AO, H_core, C)
+                    o_g, v_g, d1, d2, d3, t1, t2, t3, ERI_AO, H_core, C,
+                    G_MO, H_MO)
                 return t1n, t2n, t3n, t4
             return _restricted_ccsdtq_update(
-                o_g, v_g, d1, d2, d3, d4, t1, t2, t3, t4, ERI_AO, H_core, C)
+                o_g, v_g, d1, d2, d3, d4, t1, t2, t3, t4, ERI_AO, H_core, C,
+                G_MO, H_MO)
+
+        return update, energy_fn
+
+    return setup
+
+
+def _make_solver_fn(settings: TriplesSettings):
+    no = settings.n_occ
+    M = settings.max_diis
+    rank4 = settings.rank4
+    setup = _make_setup(settings)
+
+    def solver(g, F, d1, d2, d3, d4, t1_0, t2_0, t3_0, t4_0,
+               ERI_AO, H_core, C, energy_conv, amp_conv):
+        dtype = t2_0.dtype
+        update, energy_fn = setup(g, F, d1, d2, d3, d4, ERI_AO, H_core, C)
 
         def body(carry):
             (step, E_CC, t1, t2, t3, t4, b1, b2, b3, b4, err_buf, n_valid,
@@ -509,7 +553,161 @@ def _make_solver(settings: TriplesSettings):
         return (step - 1, conv, failed, E_CC, t1, t2, t3, t4, stats,
                 jnp.stack([E_s, E_c, E_d]), e_guess)
 
-    return jax.jit(solver)
+    return solver
+
+
+def _make_solver(settings: TriplesSettings):
+    return jax.jit(_make_solver_fn(settings))
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision production path: f32 warm solve + Newton--Krylov finisher
+# ---------------------------------------------------------------------------
+# Same design as post.cc's production solver (see the rationale there): on
+# TPU every emulated-f64 op carries a large fixed cost, so the amplitudes
+# converge at native-f32 DIIS speed and each quadratic refinement step pays
+# for ONE f64 residual (= one update application over the rank-3/4 tensors)
+# plus an f32 GMRES correction solve -- two or three f64 residuals replace
+# the ~15-30 f64 iterations of the plain while_loop.
+
+_TRIPLES_NEWTON_MAX = 6
+_TRIPLES_GMRES_M = 10
+
+
+def _make_newton_fn(settings: TriplesSettings):
+    from .cc import _gmres_static
+
+    rank4 = settings.rank4
+    setup = _make_setup(settings)
+
+    def finisher(g, F, d1, d2, d3, d4, t1_0, t2_0, t3_0, t4_0,
+                 ERI_AO, H_core, C, energy_conv, amp_conv):
+        f64 = t2_0.dtype
+        f32 = jnp.float32
+        upd64, efn64 = setup(g, F, d1, d2, d3, d4, ERI_AO, H_core, C)
+        c32 = lambda x: jnp.asarray(x, dtype=f32)
+        upd32, efn32 = setup(c32(g), c32(F), c32(d1), c32(d2), c32(d3),
+                             c32(d4), c32(ERI_AO), c32(H_core), c32(C))
+
+        shapes = [t1_0.shape, t2_0.shape, t3_0.shape]
+        if rank4:
+            shapes.append(t4_0.shape)
+        sizes = [int(np.prod(s)) for s in shapes]
+        offsets = np.cumsum([0] + sizes)
+
+        def pack(ts):
+            return jnp.concatenate([t.ravel() for t in ts[:len(shapes)]])
+
+        def unpack(u):
+            ts = [u[offsets[k]:offsets[k + 1]].reshape(shapes[k])
+                  for k in range(len(shapes))]
+            if not rank4:
+                ts.append(jnp.zeros(t4_0.shape, dtype=u.dtype))
+            return tuple(ts)
+
+        def body(carry):
+            step, E, ts, conv, failed, hist = carry
+
+            # ONE f64 residual: the update application over all ranks
+            tn = upd64(*ts)
+            r = pack(tn) - pack(ts)
+            En = efn64(ts[0], ts[1])[0]
+            r_norm = jnp.linalg.norm(r.astype(f32))
+            is_failed = ~jnp.all(jnp.isfinite(r)) | (jnp.abs(En) > 1000.0)
+
+            # f32 GMRES on (I - Phi') s = r with the Jacobian applied by jvp
+            ts32 = tuple(jnp.asarray(t, dtype=f32) for t in ts)
+
+            def matvec(u):
+                s = unpack(u)
+                _, jt = jax.jvp(lambda *a: pack(upd32(*a)), ts32, s)
+                return u - jt
+
+            s_u = _gmres_static(matvec, r.astype(f32), m=_TRIPLES_GMRES_M)
+            s = unpack(s_u)
+
+            # energy certification on the solved correction (see post.cc)
+            _, e_lin32 = jax.jvp(lambda a, b: efn32(a, b)[0],
+                                 (ts32[0], ts32[1]), (s[0], s[1]))
+            corr_finite = jnp.all(jnp.isfinite(s_u)) & jnp.isfinite(e_lin32)
+            is_failed = is_failed | ~corr_finite
+            e_lin = jnp.where(corr_finite, e_lin32, 0.0).astype(f64)
+            En_corr = En + jnp.where(is_failed, 0.0, e_lin)
+            dE = En_corr - E
+            e_err = jnp.abs(e_lin)
+            is_conv = (r_norm < amp_conv) & ((jnp.abs(dE) < energy_conv)
+                                             | (r_norm < 0.1 * energy_conv)
+                                             | (e_err < 0.5 * energy_conv))
+
+            ok = ~is_failed & (~is_conv | (e_err < energy_conv))
+            tsn = tuple(jnp.where(ok, t + si.astype(f64), t)
+                        for t, si in zip(ts, s))
+            En_out = En + jnp.where(ok, e_lin, 0.0)
+
+            hist = jnp.roll(hist, -1, axis=0).at[-1].set(
+                jnp.stack([En_out, dE]))
+            return step + 1, En_out, tsn, is_conv, is_failed, hist
+
+        def cond(carry):
+            step, conv, failed = carry[0], carry[3], carry[4]
+            return (step <= _TRIPLES_NEWTON_MAX) & ~conv & ~failed
+
+        hist0 = jnp.zeros((_TRIPLES_NEWTON_MAX, 2), dtype=f64)
+        ts0 = (t1_0, t2_0, t3_0, t4_0)
+        carry0 = (jnp.asarray(1), jnp.asarray(0.0, dtype=f64), ts0,
+                  jnp.asarray(False), jnp.asarray(False), hist0)
+        step, E, ts, conv, failed, hist = jax.lax.while_loop(cond, body,
+                                                             carry0)
+        hist = jnp.roll(hist, step - 1, axis=0)
+        E_total, E_s, E_c, E_d = efn64(ts[0], ts[1])
+        e_guess = efn64(jnp.zeros_like(t1_0), t2_0)[0]
+        return (step - 1, conv, failed, E_total, ts[0], ts[1], ts[2], ts[3],
+                hist, jnp.stack([E_s, E_c, E_d]), e_guess)
+
+    return finisher
+
+
+def _make_production_fn(settings: TriplesSettings):
+    from dataclasses import replace as _replace
+    from .cc import _WARM_MAX_ITER, _WARM_ENERGY_CONV, _WARM_AMP_CONV
+
+    warm_fn = _make_solver_fn(
+        _replace(settings, max_iter=min(settings.max_iter, _WARM_MAX_ITER)))
+    finish_fn = _make_newton_fn(settings)
+
+    def production(g, F, d1, d2, d3, d4, t1_0, t2_0, t3_0, t4_0,
+                   ERI_AO, H_core, C, energy_conv, amp_conv):
+        f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+        f64 = t2_0.dtype
+        warm = warm_fn(f32(g), f32(F), f32(d1), f32(d2), f32(d3), f32(d4),
+                       f32(t1_0), f32(t2_0), f32(t3_0), f32(t4_0),
+                       f32(ERI_AO), f32(H_core), f32(C),
+                       jnp.float32(_WARM_ENERGY_CONV),
+                       jnp.float32(_WARM_AMP_CONV))
+        n_warm, warm_failed = warm[0], warm[2]
+        warm_amps = warm[4:8]
+        warm_ok = ~warm_failed
+        for t in warm_amps[:3]:
+            warm_ok = warm_ok & jnp.all(jnp.isfinite(t))
+        pick = lambda w, t0: jnp.where(warm_ok, w.astype(f64), t0)
+        t1w, t2w, t3w = (pick(warm_amps[0], t1_0), pick(warm_amps[1], t2_0),
+                         pick(warm_amps[2], t3_0))
+        t4w = pick(warm_amps[3], t4_0) if settings.rank4 else t4_0
+        n_warm = jnp.where(warm_ok, n_warm, 0)
+        out = finish_fn(g, F, d1, d2, d3, d4, t1w, t2w, t3w, t4w,
+                        ERI_AO, H_core, C, energy_conv, amp_conv)
+        return (n_warm, warm_ok) + out
+
+    return production
+
+
+_PRODUCTION_CACHE: dict = {}
+
+
+def _get_production(settings: TriplesSettings):
+    if settings not in _PRODUCTION_CACHE:
+        _PRODUCTION_CACHE[settings] = jax.jit(_make_production_fn(settings))
+    return _PRODUCTION_CACHE[settings]
 
 
 def solve_triples_method(g, o, v, t_amplitudes, e_denominators, F, method,
@@ -543,27 +741,63 @@ def solve_triples_method(g, o, v, t_amplitudes, e_denominators, F, method,
         g = g[o.start:, o.start:, o.start:, o.start:]
         F = F[o.start:, o.start:]
 
-    if settings not in _SOLVER_CACHE:
-        _SOLVER_CACHE[settings] = _make_solver(settings)
-    solver = _SOLVER_CACHE[settings]
-
     ERI_AO = C = H_core = jnp.zeros((1, 1))
     if base_name in ("CCSDT", "CCSDTQ"):
         ERI_AO = jnp.asarray(integrals.ERI_AO)
         C = jnp.asarray(SCF_output.molecular_orbitals)
         H_core = jnp.asarray(integrals.H_core)
 
-    (n_steps, conv, failed, E_CC, t1, t2, t3, t4, stats, parts,
-     e_guess) = solver(
-        g, F, d1, d2, d3, d4, t1_0, t2_0, t3_0, t4_0, ERI_AO, H_core, C,
-        calculation.energy_convergence, calculation.amp_conv)
-    _initial_print(float(e_guess), method, calculation, silent)
+    # Mixed-precision production solve on accelerators (f32 DIIS warm phase
+    # + Newton--Krylov f64 refinement fused into one device call), exactly
+    # as post.cc does for the rank-2 methods; the pure-f64 while_loop
+    # remains the CPU path and the fallback if either phase fails.
+    newton_done = False
+    printed_banner = False
+    if jax.default_backend() != "cpu":
+        production = _get_production(settings)
+        (n_warm_j, warm_ok, n_newton, nconv, nfailed, E_CC, t1, t2, t3, t4,
+         hist, parts, e_guess) = production(
+            g, F, d1, d2, d3, d4, t1_0, t2_0, t3_0, t4_0, ERI_AO, H_core, C,
+            calculation.energy_convergence, calculation.amp_conv)
+        _initial_print(float(e_guess), method, calculation, silent)
+        printed_banner = True
+        n_warm = int(n_warm_j)
+        if n_warm:
+            log(f"  (Warmed up amplitudes with {n_warm} single-precision "
+                "iterations)", calculation, 3, silent=silent)
+        if bool(nconv) and not bool(nfailed):
+            newton_done = True
+            n_steps = int(n_newton)
+            stats = np.asarray(hist)
+            for i in range(n_steps):
+                log(f"  {i + 1:3.0f} (Newton)  {stats[i, 0]:13.10f}         "
+                    f"{stats[i, 1]:13.10f}", calculation, 1, silent=silent)
+        else:
+            # seed the f64 loop with whatever the mixed phases achieved
+            t1_0 = jnp.asarray(t1, dtype=t1_0.dtype)
+            t2_0 = jnp.asarray(t2, dtype=t2_0.dtype)
+            t3_0 = jnp.asarray(t3, dtype=t3_0.dtype)
+            if rank4:
+                t4_0 = jnp.asarray(t4, dtype=t4_0.dtype)
 
-    n_steps = int(n_steps)
-    stats = np.asarray(stats)
-    for i in range(n_steps):
-        log(f"  {i + 1:3.0f}           {stats[i, 0]:13.10f}         {stats[i, 1]:13.10f}",
-            calculation, 1, silent=silent)
+    if not newton_done:
+        if settings not in _SOLVER_CACHE:
+            _SOLVER_CACHE[settings] = _make_solver(settings)
+        solver = _SOLVER_CACHE[settings]
+        (n_steps, conv, failed, E_CC, t1, t2, t3, t4, stats, parts,
+         e_guess) = solver(
+            g, F, d1, d2, d3, d4, t1_0, t2_0, t3_0, t4_0, ERI_AO, H_core, C,
+            calculation.energy_convergence, calculation.amp_conv)
+        if not printed_banner:
+            _initial_print(float(e_guess), method, calculation, silent)
+
+        n_steps = int(n_steps)
+        stats = np.asarray(stats)
+        for i in range(n_steps):
+            log(f"  {i + 1:3.0f}           {stats[i, 0]:13.10f}         {stats[i, 1]:13.10f}",
+                calculation, 1, silent=silent)
+    else:
+        conv, failed = True, False
 
     if bool(failed):
         error(f'Non-finite encountered in {base_name} iteration. Try stronger '
