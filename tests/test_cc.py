@@ -69,6 +69,95 @@ def test_ccsd_t_n2_sto3g():
     assert E_total < E_ccsd  # (T) adds negative correlation
 
 
+def test_ccsd_t_paren_spelling_matches_bracket():
+    """CCSD(T) (parenthesis spelling, registered as its own method) computes
+    the same Lee-formulation correction as CCSD[T].  The reference registers
+    it (tuna_util.py:1355) but crashes on it with a TypeError inside
+    apply_damping; here both spellings run and agree exactly."""
+    E_paren = final_energy("SPE : LI H 1.6 : CCSD(T) STO-3G : TIGHTSCF")
+    E_bracket = final_energy("SPE : LI H 1.6 : CCSD[T] STO-3G : TIGHTSCF")
+    assert abs(E_paren - E_bracket) < 1e-12
+    assert abs(E_paren - (-7.8823222714)) < 1e-9
+
+
+def test_prewarm_spec_matches_real_solve(monkeypatch):
+    """The pre-warm thread (cc.prewarm_production_solver_async, started by
+    the energy driver before the integral stage) must request EXACTLY the
+    program the real solve does -- same CCSettings, same operand shapes,
+    same convergence-scalar values -- or the ~40 s executable load through
+    the TPU tunnel happens twice.  Covers RHF, UHF-reference open shell,
+    and FREEZECORE."""
+    import time
+    from tuna_tpu.cli import parse_input, process_method
+    from tuna_tpu.config import Config
+    from tuna_tpu.drivers import energy as energ
+    from tuna_tpu.post import cc
+
+    cases = [
+        "SPE : N N 1.1 : CCSD STO-3G : TIGHTSCF",
+        "SPE : LI H 1.6 : UCCSD STO-3G : CH 1 ML 2",
+        "SPE : N N 1.1 : CISD STO-3G : FREEZECORE",
+    ]
+    for line in cases:
+        ct, ms, basis, symbols, coords, params = parse_input(line)
+        cfg = Config(ct, process_method(ms), time.time(), params, basis,
+                     symbols, suppress_output=True)
+
+        captured = {}
+        real_get = cc.get_cc_solver
+
+        def capture(settings, _real=real_get, _cap=captured):
+            _cap["settings"] = settings
+            fn = _real(settings)
+
+            def wrapper(g, F, d1, d2, t1_0, t2_0, ERI_AO, C, H_core, d3,
+                        ec, ac):
+                _cap["shapes"] = {
+                    "g": tuple(g.shape), "F": tuple(F.shape),
+                    "d1": tuple(d1.shape), "d2": tuple(d2.shape),
+                    "ERI_AO": tuple(ERI_AO.shape), "C": tuple(C.shape),
+                    "H_core": tuple(H_core.shape), "d3": tuple(d3.shape),
+                }
+                _cap["conv"] = (ec, ac)
+                return fn(g, F, d1, d2, t1_0, t2_0, ERI_AO, C, H_core, d3,
+                          ec, ac)
+
+            return wrapper
+
+        monkeypatch.setattr(cc, "get_cc_solver", capture)
+        _, molecule, _, _ = energ.calculate_energy(cfg, symbols, coords,
+                                                   silent=True)
+        monkeypatch.setattr(cc, "get_cc_solver", real_get)
+
+        spec = cc._prewarm_spec(molecule, cfg)
+        assert spec is not None, line
+        settings, shapes, conv = spec
+        assert settings == captured["settings"], line
+        assert shapes == {k: tuple(v) for k, v in captured["shapes"].items()}, line
+        assert conv == captured["conv"], line
+
+
+def test_prewarm_zero_call_compiles_and_converges():
+    """The pre-warm's zero-operand dry call must run the full production
+    program without raising and leave the compiled solver in the cache
+    (zero amplitudes converge after one warm iteration)."""
+    import time
+    from tuna_tpu.cli import parse_input, process_method
+    from tuna_tpu.config import Config
+    from tuna_tpu.system import Molecule
+    from tuna_tpu.post import cc
+
+    ct, ms, basis, symbols, coords, params = parse_input(
+        "SPE : N N 1.1 : CCSD STO-3G : TIGHTSCF")
+    cfg = Config(ct, process_method(ms), time.time(), params, basis, symbols,
+                 suppress_output=True)
+    molecule = Molecule(symbols, coords, cfg)
+    spec = cc._prewarm_spec(molecule, cfg)
+    assert spec is not None
+    cc._prewarm_run(spec, force=True)
+    assert spec[0] in cc._PRODUCTION_CACHE
+
+
 def test_uccsd_t_open_shell():
     """Spin-orbital CCSD(T) runs for an open-shell doublet."""
     E = final_energy("SPE : LI H 1.6 : UCCSD[T] STO-3G : CH 1 ML 2")

@@ -83,6 +83,17 @@ def build_molecule_and_integrals(calculation, atomic_symbols, coordinates, silen
                         do_correlation=do_correlation)
     log("[Done]\n", calculation, 1, silent=silent)
 
+    # Iterative-CC runs: start loading the CC production executable on a
+    # daemon thread NOW, concurrent with the integral sweep and SCF below
+    # (it costs ~40 s of a warm CLI start through the remote-TPU tunnel,
+    # PERF.md, and its shapes need only the molecule).  Once per process:
+    # later multi-point energies hit the already-warm jit caches.
+    if (do_correlation and calculation.method.method_base == "CC"
+            and not getattr(calculation, "_cc_prewarm_started", False)):
+        from ..post import cc as _cc
+        _cc.prewarm_production_solver_async(molecule, calculation)
+        calculation._cc_prewarm_started = True
+
     if integrals is None:
         integrals = common.calculate_analytical_integrals(molecule, calculation, silent)
 
