@@ -112,6 +112,24 @@ def main():
             return jax.lax.fori_loop(0, N_REPS, body, (seed, err_buf))[0]
         return run
 
+    def diis_incremental():
+        # The production body's path: one (M,N)@(N,) matvec + diagonal
+        # Gram shift + bordered solve (post/cc.py body)
+        from tuna_tpu.post.cc import _diis_coefficients_from_gram
+        G0 = err_buf @ err_buf.T
+
+        def run(seed):
+            def body(i, carry):
+                acc, G, rr = carry
+                g_new = jnp.einsum("ml,l->m", err_buf, rr)
+                G2 = jnp.roll(jnp.roll(G, -1, axis=0), -1, axis=1)
+                G2 = G2.at[M - 1, :].set(g_new).at[:, M - 1].set(g_new)
+                ok, c = _diis_coefficients_from_gram(G2, jnp.asarray(M), M)
+                s = jnp.sum(c)
+                return acc + s, G2, rr * (1.0 + 1e-12 * s)
+            return jax.lax.fori_loop(0, N_REPS, body, (seed, G0, r))[0]
+        return run
+
     def ring_pushes():
         def run(seed):
             def body(i, carry):
@@ -148,6 +166,7 @@ def main():
     results = [timed_loop("noop", noop)]
     base = results[0][1]
     for name, make in [("energy", energy), ("diis_solve", diis_solve),
+                       ("diis_incremental", diis_incremental),
                        ("ring_pushes", ring_pushes),
                        ("extrapolate", extrapolate), ("norms", norms)]:
         results.append(timed_loop(name, make))

@@ -857,16 +857,27 @@ def _push_ring(buf, entry, n_valid, max_n):
 
 
 def _diis_coefficients(err_buf, n_valid, M):
-    dtype = err_buf.dtype
     valid = jnp.arange(M) >= (M - n_valid)
     errs = jnp.where(valid[:, None], err_buf, 0.0)
     G = errs @ errs.T
+    return _diis_coefficients_from_gram(G, n_valid, M)
+
+
+def _diis_coefficients_from_gram(G, n_valid, M):
+    """Bordered DIIS solve from a precomputed Gram block.  The solver body
+    maintains G incrementally (only the newest error vector's inner products
+    change per push), replacing the full (M,N)@(N,M) emulated-f64 Gram --
+    measured 4.06 -> ~1.4 ms per cc-pVTZ f64 iteration
+    (tools/profile_f64_body.py)."""
+    dtype = G.dtype
+    valid = jnp.arange(M) >= (M - n_valid)
     vv = valid[:, None] & valid[None, :]
+    G = jnp.where(vv, G, 0.0)
     # Scale the Gram block to O(1): the bordered system's solution c is
     # invariant under G -> G/s (only the Lagrange multiplier rescales), and
     # an O(1) block keeps the f32 elimination inside the refined solver
     # accurate (late-iteration G entries are squared residuals ~1e-16).
-    s = jnp.maximum(jnp.max(jnp.abs(jnp.where(vv, G, 0.0))), 1e-30)
+    s = jnp.maximum(jnp.max(jnp.abs(G)), 1e-30)
     G = jnp.where(vv, G / s, 0.0) + jnp.where(
         jnp.eye(M, dtype=bool) & ~valid[:, None], 1.0, 0.0)
     A = jnp.zeros((M + 1, M + 1), dtype=dtype)
@@ -964,7 +975,7 @@ def _build_cc_solver_fn(settings: CCSettings):
             # ~1e-10 short of the fixed point -- the 1e-7 Gram noise wrecks
             # the late-stage extrapolation, costing far more wall time than
             # the saved emulated ops.
-            (step, E, t1, t2, amp_buf, err_buf, n_valid, conv, failed,
+            (step, E, t1, t2, amp_buf, err_buf, gram, n_valid, conv, failed,
              stats) = carry
 
             t1n, t2n, En = apply_update_energy(t1, t2)
@@ -984,8 +995,18 @@ def _build_cc_solver_fn(settings: CCSettings):
             err_buf2, n_valid2 = _push_ring(err_buf, r, n_valid, M)
 
             tx = tn_flat
+            gram2 = gram
             if settings.use_diis:
-                ok, coeffs = _diis_coefficients(err_buf2, n_valid2, M)
+                # Incremental Gram: the push shifts rows down one slot, so
+                # the surviving inner products shift diagonally; only the
+                # newest vector's row/column is computed -- one (M,N)@(N,)
+                # matvec in place of the full (M,N)@(N,M) product (exact
+                # f64; every valid entry is recomputed when its row enters,
+                # and invalid slots are masked inside the solve).
+                g_new = jnp.einsum("ml,l->m", err_buf2, r)
+                gram2 = jnp.roll(jnp.roll(gram, -1, axis=0), -1, axis=1)
+                gram2 = gram2.at[M - 1, :].set(g_new).at[:, M - 1].set(g_new)
+                ok, coeffs = _diis_coefficients_from_gram(gram2, n_valid2, M)
                 use = (step > 2) & ok & ~is_conv
                 tx = jnp.where(use,
                                jnp.einsum("m,ml->l", coeffs.astype(dtype),
@@ -1002,7 +1023,7 @@ def _build_cc_solver_fn(settings: CCSettings):
 
             # Shift-down history (static-index write; see _push_ring)
             stats = jnp.roll(stats, -1, axis=0).at[-1].set(jnp.stack([En, dE]))
-            return (step + 1, En, t1x, t2x, amp_buf2, err_buf2,
+            return (step + 1, En, t1x, t2x, amp_buf2, err_buf2, gram2,
                     n_valid2, is_conv, is_failed, stats)
 
         def cond(carry):
@@ -1012,6 +1033,7 @@ def _build_cc_solver_fn(settings: CCSettings):
         carry0 = (jnp.asarray(1), jnp.asarray(0.0, dtype=dtype), t1_0, t2_0,
                   jnp.zeros((M, t1_0.size + t2_0.size), dtype=dtype),
                   jnp.zeros((M, t1_0.size + t2_0.size), dtype=dtype),
+                  jnp.zeros((M, M), dtype=dtype),
                   jnp.asarray(0), jnp.asarray(False), jnp.asarray(False),
                   jnp.zeros((settings.max_iter, 2), dtype=dtype))
 
