@@ -151,6 +151,19 @@ def main():
             return jax.lax.fori_loop(0, N_REPS, body, (seed, coeffs))[0]
         return run
 
+    def extrapolate_mixed():
+        # production body: f64 base + f32 residual-sized spread
+        def run(seed):
+            def body(i, carry):
+                acc, c = carry
+                spread = (amp_buf - amp_flat[None, :]).astype(jnp.float32)
+                d = jnp.einsum("m,ml->l", c.astype(jnp.float32), spread)
+                tx = amp_flat + d.astype(amp_flat.dtype)
+                s = tx[0] + tx[-1]
+                return acc + s, c * (1.0 + 1e-12 * s)
+            return jax.lax.fori_loop(0, N_REPS, body, (seed, coeffs))[0]
+        return run
+
     def norms():
         # production body: f64 subtraction, then f32 convert + f32 norms
         def run(seed):
@@ -168,7 +181,9 @@ def main():
     for name, make in [("energy", energy), ("diis_solve", diis_solve),
                        ("diis_incremental", diis_incremental),
                        ("ring_pushes", ring_pushes),
-                       ("extrapolate", extrapolate), ("norms", norms)]:
+                       ("extrapolate", extrapolate),
+                       ("extrapolate_mixed", extrapolate_mixed),
+                       ("norms", norms)]:
         results.append(timed_loop(name, make))
 
     print(f"{'component':14s} {'total_ms':>9s} {'per_rep_ms':>11s}  (n_reps={N_REPS})")

@@ -1008,10 +1008,18 @@ def _build_cc_solver_fn(settings: CCSettings):
                 gram2 = gram2.at[M - 1, :].set(g_new).at[:, M - 1].set(g_new)
                 ok, coeffs = _diis_coefficients_from_gram(gram2, n_valid2, M)
                 use = (step > 2) & ok & ~is_conv
-                tx = jnp.where(use,
-                               jnp.einsum("m,ml->l", coeffs.astype(dtype),
-                                          amp_buf2),
-                               tn_flat)
+                # Extrapolate as tn + sum_m c_m (amp_m - tn): identical math
+                # (the coefficients sum to one exactly), but the spread
+                # terms are residual-sized, so the matvec runs in f32 --
+                # injected noise ~1e-7 * |spread|, far below the path's
+                # working precision (the certifying iterate is
+                # un-extrapolated).  Replaces the emulated-f64 matvec:
+                # 1.34 -> ~0.4 ms per cc-pVTZ iteration
+                # (tools/profile_f64_body.py).
+                spread = (amp_buf2 - tn_flat[None, :]).astype(jnp.float32)
+                delta = jnp.einsum("m,ml->l", coeffs.astype(jnp.float32),
+                                   spread)
+                tx = jnp.where(use, tn_flat + delta.astype(dtype), tn_flat)
                 n_valid2 = jnp.where((step > 2) & ~ok, 0, n_valid2)
 
             if settings.damping != 0.0:
