@@ -19,7 +19,7 @@ from . import __version__, constants
 from .config import Config
 from .methods import (BASIS_ALIASES, CALCULATION_TYPES,
                       ELECTRONIC_STRUCTURE_METHODS, lookup_method)
-from .output import TunaError, error, finish_calculation, log, timer
+from .output import TunaError, error, finish_calculation, log, timer, warning
 from .periodic import ATOMIC_PROPERTIES
 
 MINIMUM_BOND_LENGTH_ANGSTROMS = 0.01
@@ -53,6 +53,15 @@ def parse_input(input_line: str):
         params_raw = raw_sections[3].strip().split() if len(sections) == 4 else []
     except (IndexError, ValueError):
         error("Input line formatted incorrectly! Read the manual for help.")
+
+    if len(sections) > 4:
+        # The reference silently drops ALL keywords when extra colon
+        # sections appear (tuna.py:98, len == 4 check) -- a silent footgun
+        # (e.g. ": TIGHTSCF : P" loses both keywords).  Matching parse
+        # behaviour, plus a warning.
+        warning("More than four colon sections in the input line -- all "
+                "keywords ignored! Keywords share ONE section, e.g. "
+                '": TIGHTSCF P".')
 
     atomic_symbols = [a.strip() for a in geometry_section.split(" ")[0:2] if a.strip()]
 
