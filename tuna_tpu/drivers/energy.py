@@ -9,6 +9,8 @@ compiled integral/SCF kernels (same shapes -> no retracing).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -89,6 +91,7 @@ def build_molecule_and_integrals(calculation, atomic_symbols, coordinates, silen
     # PERF.md, and its shapes need only the molecule).  Once per process:
     # later multi-point energies hit the already-warm jit caches.
     if (do_correlation and calculation.method.method_base == "CC"
+            and os.environ.get("TUNA_TPU_NO_PREWARM", "") != "1"
             and not getattr(calculation, "_cc_prewarm_started", False)):
         from ..post import cc as _cc
         _cc.prewarm_production_solver_async(molecule, calculation)
