@@ -137,3 +137,17 @@ L 1
     assert letters == ["S", "S", "P"]
     assert table[1][1][1] == [(0.5, 0.3)]
     assert table[1][2][1] == [(0.5, 0.2)]
+
+
+def test_extra_colon_sections_drop_keywords_with_warning(capsys):
+    # The reference parses keywords only from a four-section line
+    # (tuna.py:98): ": TIGHTSCF : P" silently loses BOTH keywords.  Parse
+    # behaviour must match; ours additionally warns.
+    from tuna_tpu.cli import parse_input
+    (_, _, _, _, _, params) = parse_input(
+        "SPE : H H 0.74 : HF STO-3G : TIGHTSCF : P")
+    assert list(params) == []
+    assert "keywords ignored" in capsys.readouterr().out.lower()
+    (_, _, _, _, _, params4) = parse_input(
+        "SPE : H H 0.74 : HF STO-3G : TIGHTSCF P")
+    assert list(params4) == ["TIGHTSCF", "P"]
